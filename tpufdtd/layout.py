@@ -1,0 +1,91 @@
+"""Internal array layouts.
+
+The reference stores u as [nx+2H, ny+2H, nz+2H] with H = stencil order
+(main.cpp:360-363). That layout is kept as the *reference layout* (oracle,
+jnp backend, all external APIs). The Pallas TPU kernel additionally needs the
+interior y tiles to start on 8-aligned sublane offsets (Mosaic requires
+element-space block offsets on the sublane dim to be tile-aligned), so the
+*TPU layout* widens the y pad to round_up(halo, 8) per side. The outer extra
+pad cells are inert: never read by the radius-R stencil and never written.
+
+embed()/extract() convert between the two layouts; rims are preserved so the
+per-ring-level frozen boundary semantics carry over exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+from .config import Grid3D
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class Layout:
+    grid: Grid3D
+    pad_lo: Tuple[int, int, int]
+    pad_hi: Tuple[int, int, int]
+
+    @staticmethod
+    def reference(grid: Grid3D) -> "Layout":
+        h = grid.halo
+        return Layout(grid, (h, h, h), (h, h, h))
+
+    @staticmethod
+    def tpu(grid: Grid3D) -> "Layout":
+        h = grid.halo
+        hy = _round_up(h, 8)
+        return Layout(grid, (h, hy, h), (h, hy, h))
+
+    @property
+    def padded_shape(self) -> Tuple[int, int, int]:
+        n = (self.grid.nx, self.grid.ny, self.grid.nz)
+        return tuple(n[i] + self.pad_lo[i] + self.pad_hi[i] for i in range(3))
+
+    def interior_slices(self) -> Tuple[slice, slice, slice]:
+        n = (self.grid.nx, self.grid.ny, self.grid.nz)
+        return tuple(slice(self.pad_lo[i], self.pad_lo[i] + n[i]) for i in range(3))
+
+    def shifted_slices(self, axis: int, d: int) -> Tuple[slice, slice, slice]:
+        """Interior-sized slices shifted by d along `axis`."""
+        n = (self.grid.nx, self.grid.ny, self.grid.nz)
+        out = []
+        for ax in range(3):
+            d_ax = d if ax == axis else 0
+            out.append(slice(self.pad_lo[ax] + d_ax, self.pad_lo[ax] + d_ax + n[ax]))
+        return tuple(out)
+
+    @property
+    def is_reference(self) -> bool:
+        h = self.grid.halo
+        return self.pad_lo == (h, h, h) and self.pad_hi == (h, h, h)
+
+    def embed_region(self) -> Tuple[slice, slice, slice]:
+        """Where a reference-layout array lands inside this layout: the
+        reference rim (halo wide) sits in the *inner* part of this pad."""
+        h = self.grid.halo
+        n = (self.grid.nx, self.grid.ny, self.grid.nz)
+        return tuple(
+            slice(self.pad_lo[i] - h, self.pad_lo[i] + n[i] + h) for i in range(3)
+        )
+
+    def embed(self, arr_ref: np.ndarray) -> np.ndarray:
+        """Reference-layout array -> this layout (outer extra pads zeroed)."""
+        if self.is_reference:
+            return np.asarray(arr_ref)
+        out = np.zeros(self.padded_shape, dtype=np.asarray(arr_ref).dtype)
+        out[self.embed_region()] = arr_ref
+        return out
+
+    def extract(self, arr_int) -> np.ndarray:
+        """This layout -> reference layout."""
+        arr_int = np.asarray(arr_int)
+        if self.is_reference:
+            return arr_int
+        return arr_int[self.embed_region()]
