@@ -1,0 +1,89 @@
+"""Headline benchmark: 512^3 x 50 steps on one chip, Pallas backend.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Baseline: the reference's CUDA_Optimized kernel reached 28.3 % of H100 HBM
+peak at 512^3x50 under its 12 B/pt/step "optimized" bytes model
+(STABILITY_FIX_LOG.md:153, main.cpp:139-144). The headline here is the same
+model-percent on this chip's peak, so the number is hardware-normalized.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    import tpufdtd as tf
+    from tpufdtd.utils import metrics
+    from tpufdtd.utils.peaks import detect_peaks
+
+    peaks = detect_peaks()
+
+    # ---- correctness gate (128^3, vs f64 oracle) ---------------------------
+    g_c = tf.Grid3D(128, 128, 128, hx=1.0, hy=1.0, hz=1.0)
+    volp = int(np.prod(g_c.padded_shape))
+    idx = np.arange(volp, dtype=np.float32).reshape(g_c.padded_shape)
+    uc0 = np.sin(idx * np.float32(0.001)) * np.float32(10.0) + np.float32(100.0)
+    up0 = np.zeros_like(uc0)
+    m_c = np.full(g_c.padded_shape, 1.5, np.float32)
+    _, uc_t = tf.oracle_run(up0, uc0, m_c, g_c, 0.001, 50, dtype=np.float64)
+    _, uc = tf.simulate(
+        up0, uc0, m_c, g_c, tf.SimConfig(dt=0.001, nsteps=50, backend="pallas")
+    )
+    l2 = float(
+        np.sqrt(
+            np.sum((uc.astype(np.float64) - uc_t) ** 2) / (np.sum(uc_t**2) + 1e-30)
+        )
+    )
+
+    # ---- performance (512^3 x 50, 5 reps, reference timing convention) -----
+    n = 512
+    nsteps, warmup, reps = 50, 5, 5
+    grid = tf.Grid3D(n, n, n)
+    cfg = tf.SimConfig(dt=0.001, nsteps=nsteps, warmup_steps=warmup, backend="pallas")
+    m = np.full(grid.padded_shape, 1.5, np.float32)
+    u0 = np.zeros(grid.padded_shape, np.float32)
+    sim = tf.Simulator(grid, cfg, m)
+
+    times = []
+    for _rep in range(reps):
+        state = sim.prepare_state(u0, u0)
+        state, secs = sim.run_timed(state)
+        times.append(secs)
+    device_time = min(times)
+
+    # reference convention: model uses the FULL step count against the timed
+    # (post-warmup) device time (main.cpp:429-431)
+    gflops = metrics.gflops_model(n, n, n, nsteps, device_time, grid.order)
+    gbps_opt = metrics.gbps_model(n, n, n, nsteps, device_time, metrics.BYTES_OPTIMIZED)
+    mem_eff = gbps_opt / peaks.hbm_gbps * 100.0
+    gcells = n**3 * nsteps / device_time / 1e9
+
+    print(
+        json.dumps(
+            {
+                "metric": "512^3x50 HBM efficiency (12B/pt model) vs chip peak",
+                "value": round(mem_eff, 2),
+                "unit": "%",
+                "vs_baseline": round(mem_eff / 28.3, 3),
+                "gcells_per_s": round(gcells, 2),
+                "gflops_model": round(gflops, 1),
+                "device_time_ms": round(device_time * 1e3, 2),
+                "rel_l2_vs_oracle_128": l2,
+                "correctness_pass": bool(l2 < 1e-4),
+                "device": peaks.name,
+                "chip_peak_gbps": peaks.hbm_gbps,
+                "baseline": "CUDA_Optimized 28.3% of H100 peak (STABILITY_FIX_LOG.md:153)",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
