@@ -1,0 +1,82 @@
+"""Harness layer: correctness phase, perf phase, CSV schema (SURVEY.md §2.1)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import tpufdtd as tf
+from tpufdtd.harness.correctness import run_correctness
+from tpufdtd.harness.perf import run_benchmark, state_bytes
+from tpufdtd.utils.csvio import HEADER
+from tpufdtd.utils import metrics
+from tpufdtd.utils.peaks import detect_peaks
+
+
+def test_correctness_phase_small():
+    reports = run_correctness(sizes=[16], nsteps=10, backends=("jnp", "pallas"),
+                              verbose=False)
+    assert len(reports) == 2
+    for r in reports:
+        assert r.passed, (r.method, r.rel_l2)
+        assert r.rel_l2 < 1e-4
+        assert r.nan_count == 0 and r.inf_count == 0
+
+
+def test_perf_phase_writes_csv(tmp_path):
+    csv = str(tmp_path / "benchmark.csv")
+    results = run_benchmark(
+        method="jnp", grids=[16], timesteps=10, nsrc=1, reps=2,
+        csv_path=csv, verbose=False,
+    )
+    assert len(results) == 1
+    assert results[0]["gflops"] > 0
+    lines = open(csv).read().strip().split("\n")
+    assert lines[0] == HEADER
+    assert len(lines) == 2
+    row = lines[1].split(",")
+    assert len(row) == len(HEADER.split(","))
+    assert row[0] == "jnp"
+    assert int(row[18]) == 16  # NX
+    assert int(row[23]) == 4  # StencilOrder
+
+
+def test_perf_zero_sources_zero_field(tmp_path):
+    results = run_benchmark(
+        method="jnp", grids=[16], timesteps=5, nsrc=0, reps=1,
+        csv_path=None, verbose=False,
+    )
+    assert results[0]["nan"] is False
+
+
+def test_grid_skip_over_memory():
+    peaks = detect_peaks()
+    big = int((peaks.hbm_gib * (1 << 30)) ** (1 / 3))  # guaranteed over budget
+    results = run_benchmark(
+        method="jnp", grids=[4096], timesteps=5, nsrc=0, reps=1,
+        csv_path=None, verbose=False,
+    )
+    assert results == []
+
+
+def test_models_match_reference_constants():
+    # 36 flops/pt at order 4; AI = 36/64 naive (main.cpp:129-152)
+    assert metrics.flops_per_point(4) == 36
+    assert metrics.arithmetic_intensity(4, metrics.BYTES_NAIVE) == 36 / 64
+    assert metrics.gflops_model(128, 128, 128, 50, 1.0) == pytest.approx(
+        128**3 * 50 * 36 / 1e9
+    )
+
+
+def test_cli_smoke(tmp_path, capsys):
+    from tpufdtd.harness.cli import main
+
+    csv = str(tmp_path / "b.csv")
+    rc = main(["--sizes", "16", "--grids", "16", "--steps", "5", "--reps", "1",
+               "--backends", "jnp", "--csv", csv])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Step 1: Correctness" in out
+    assert "Step 2: Performance" in out
+    assert "benchmark.csv" in out or "Results" in out
+    assert os.path.exists(csv)

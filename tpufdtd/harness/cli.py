@@ -1,0 +1,79 @@
+"""Unified benchmark CLI — the reference's main() flow (main.cpp:767-835):
+detect chip -> print config -> Step 1 correctness -> Step 2 performance
+sweep over all backends (fresh CSV) -> Step 3 echo the CSV.
+
+Usage:
+  python -m tpufdtd.harness.cli                       # full run
+  python -m tpufdtd.harness.cli --sizes 32 64 128 --grids 64 128 256
+  python -m tpufdtd.harness.cli --skip-correctness --backends pallas
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from ..utils.envcfg import runtime_config
+from ..utils.peaks import detect_peaks
+from .correctness import run_correctness
+from .perf import DEFAULT_GRIDS, run_benchmark
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="TPU 3D acoustic FDTD benchmark")
+    p.add_argument("--sizes", type=int, nargs="*", default=[32, 64, 128],
+                   help="correctness grid sizes (reference: 32..512)")
+    p.add_argument("--grids", type=int, nargs="*", default=list(DEFAULT_GRIDS),
+                   help="performance grid sizes")
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--sources", type=int, default=1)
+    p.add_argument("--backends", nargs="*", default=["jnp", "pallas"])
+    p.add_argument("--csv", default="benchmark.csv")
+    p.add_argument("--skip-correctness", action="store_true")
+    p.add_argument("--skip-perf", action="store_true")
+    args = p.parse_args(argv)
+
+    rc = runtime_config()
+    peaks = detect_peaks()
+    print("==========================================")
+    print(" TPU-native 3D acoustic FDTD benchmark")
+    print("==========================================")
+    print(f"Device: {peaks.name}")
+    print(f"Peak HBM BW: {peaks.hbm_gbps:.0f} GB/s | "
+          f"VPU f32 est: {peaks.fp32_gflops:.0f} GFLOP/s | "
+          f"HBM: {peaks.hbm_gib:.0f} GiB")
+    print(f"Runtime config: backend={rc.backend} storage={rc.storage} "
+          f"t_fuse={rc.t_fuse} vmem={rc.vmem_budget_mib}MiB")
+
+    ok = True
+    if not args.skip_correctness:
+        print("\n=== Step 1: Correctness ===")
+        reports = run_correctness(args.sizes, args.steps, args.backends)
+        ok = all(r.passed for r in reports)
+
+    if not args.skip_perf:
+        print("\n=== Step 2: Performance ===")
+        if args.csv and os.path.exists(args.csv):
+            os.remove(args.csv)
+        for backend in args.backends:
+            run_benchmark(
+                method=backend,
+                grids=args.grids,
+                timesteps=args.steps,
+                nsrc=args.sources,
+                reps=args.reps,
+                csv_path=args.csv,
+                peaks=peaks,
+            )
+        if args.csv and os.path.exists(args.csv):
+            print("\n=== Step 3: Results (benchmark.csv) ===")
+            with open(args.csv) as f:
+                sys.stdout.write(f.read())
+
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

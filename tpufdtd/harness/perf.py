@@ -1,0 +1,204 @@
+"""Performance phase — grid sweep with stats, models, analysis and CSV.
+
+Reproduces the reference perf driver (main.cpp:258-508): grid sweep x 50
+steps x 1 Ricker source x 5 reps; skips grids whose state exceeds the chip's
+HBM; zero ICs, m = 1.5, h = 0.1, dt = 1e-3; 5 warmup physics steps untimed
+(inside run_timed); FLOPs/bytes models with the reference's constants
+(utils.metrics); efficiency vs detected chip peaks; memory-/compute-bound
+classification at 80% thresholds (main.cpp:456-463); CSV append per config.
+
+Section split: the reference's optimized kernel cannot time sections inside
+its async loop and reports a fixed 85/15 estimate (cuda_optimized.cu:469-470).
+Here the whole scan is one XLA program, so sections are likewise estimated:
+section1 (source injection) is attributed its work share
+8*nsrc/(interior + 8*nsrc) of device time — effectively ~0 for point sources,
+which is what a fused injection actually costs.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, Optional
+
+import numpy as np
+
+from ..config import Grid3D, SimConfig
+from ..stepper import Simulator
+from ..utils import metrics
+from ..utils.csvio import append_row
+from ..utils.peaks import DevicePeaks, detect_peaks
+from ..utils.stats import compute_stats
+from ..wavelets import default_source_coords, ricker_table
+
+DEFAULT_GRIDS = (32, 64, 96, 128, 192, 256, 384, 512, 640, 768)
+
+
+def state_bytes(grid: Grid3D) -> int:
+    """3 ring levels + m, f32 (the reference's 40 GB skip check uses the
+    same 4-field count, main.cpp:337-341)."""
+    volp = int(np.prod(grid.padded_shape))
+    return 4 * volp * 4
+
+
+def run_benchmark(
+    method: str = "pallas",
+    grids: Iterable[int] = DEFAULT_GRIDS,
+    timesteps: int = 50,
+    nsrc: int = 1,
+    reps: int = 5,
+    csv_path: Optional[str] = "benchmark.csv",
+    storage_dtype: str = "float32",
+    peaks: Optional[DevicePeaks] = None,
+    verbose: bool = True,
+    hbm_budget_frac: float = 0.6,
+):
+    peaks = peaks or detect_peaks()
+    is_optimized = method != "jnp"
+    bytes_pt = metrics.BYTES_OPTIMIZED if is_optimized else metrics.BYTES_NAIVE
+    ai = metrics.arithmetic_intensity(4, bytes_pt)
+    results = []
+
+    for gs in grids:
+        grid = Grid3D(gs, gs, gs)
+        need = state_bytes(grid)
+        budget = peaks.hbm_gib * (1 << 30) * hbm_budget_frac
+        if need > budget:
+            if verbose:
+                print(f"Skipping {gs}^3 grid (requires {need/2**30:.1f} GB)")
+            continue
+
+        shape = grid.padded_shape
+        m = np.full(shape, 1.5, np.float32)
+        u0 = np.zeros(shape, np.float32)
+        src = ricker_table(timesteps, nsrc, 0.001) if nsrc > 0 else None
+        coords = (
+            default_source_coords(nsrc, gs, gs, gs) if nsrc > 0 else None
+        )
+        cfg = SimConfig(
+            dt=0.001,
+            nsteps=timesteps,
+            backend=method if method in ("jnp", "pallas") else "pallas",
+            storage_dtype=storage_dtype,
+        )
+        if verbose:
+            print(
+                f"Running {method} FDTD ({grid.order}th-order)...\n"
+                f"Grid: {gs}x{gs}x{gs} | Steps: {timesteps} | Sources: {nsrc}"
+                f" | AI: {ai:.4g} FLOPs/byte"
+            )
+
+        sim = Simulator(grid, cfg, m, coords)
+        device_times, total_times = [], []
+        for _rep in range(reps):
+            t0 = time.perf_counter()
+            state = sim.prepare_state(u0, u0)
+            state, secs = sim.run_timed(state, src)
+            total = time.perf_counter() - t0
+            device_times.append(secs)
+            total_times.append(total)
+
+        # section split estimate (see module docstring)
+        interior = grid.interior_cells
+        s1_share = (8.0 * nsrc) / (interior + 8.0 * nsrc)
+        s0_times = [t * (1 - s1_share) for t in device_times]
+        s1_times = [t * s1_share for t in device_times]
+        overheads = [max(0.0, t - d) for t, d in zip(total_times, device_times)]
+
+        dstats = compute_stats(device_times)
+        tstats = compute_stats(total_times)
+        s0stats = compute_stats(s0_times)
+        s1stats = compute_stats(s1_times)
+        ostats = compute_stats(overheads)
+        gflops_vals = [
+            metrics.gflops_model(gs, gs, gs, timesteps, d, grid.order)
+            for d in device_times
+        ]
+        gbps_vals = [
+            metrics.gbps_model(gs, gs, gs, timesteps, d, bytes_pt)
+            for d in device_times
+        ]
+        gfstats = compute_stats(gflops_vals)
+        gbstats = compute_stats(gbps_vals)
+
+        compute_eff = gfstats.mean / peaks.fp32_gflops * 100.0
+        memory_eff = gbstats.mean / peaks.hbm_gbps * 100.0
+
+        if verbose:
+            print(
+                f"Total time:   {tstats.mean*1e3:.2f} ± {tstats.stddev*1e3:.2f} ms\n"
+                f"Device time:  {dstats.mean*1e3:.2f} ± {dstats.stddev*1e3:.2f} ms"
+                f"  (section0={s0stats.mean*1e3:.2f}±{s0stats.stddev*1e3:.2f}ms,"
+                f" section1={s1stats.mean*1e3:.2f}±{s1stats.stddev*1e3:.2f}ms)\n"
+                f"Overhead:     {ostats.mean*1e3:.2f} ± {ostats.stddev*1e3:.2f} ms"
+                "  (init/transfers/dispatch)\n"
+                f"Perf:         {gfstats.mean:.1f} ± {gfstats.stddev:.1f} GFLOP/s,  "
+                f"{gbstats.mean:.1f} ± {gbstats.stddev:.1f} GB/s"
+            )
+            print(
+                f"TPU Analysis: {compute_eff:.1f}% compute, "
+                f"{memory_eff:.1f}% memory BW efficiency"
+            )
+            if memory_eff > 80.0:
+                print("Status:       Memory-bound (optimal for this workload)")
+            elif compute_eff > 80.0:
+                print("Status:       Compute-bound (good utilization)")
+            else:
+                print(
+                    "Status:       Optimization opportunity "
+                    f"({max(compute_eff, memory_eff):.1f}% peak utilization)"
+                )
+
+        if csv_path:
+            append_row(
+                csv_path,
+                method,
+                tstats.mean,
+                tstats.stddev,
+                s0stats.mean,
+                s0stats.stddev,
+                s1stats.mean,
+                s1stats.stddev,
+                dstats.mean,
+                dstats.stddev,
+                ostats.mean,
+                ostats.stddev,
+                gfstats.mean,
+                gfstats.stddev,
+                gbstats.mean,
+                gbstats.stddev,
+                compute_eff,
+                memory_eff,
+                ai,
+                gs,
+                gs,
+                gs,
+                timesteps,
+                nsrc,
+                grid.order,
+            )
+
+        # invariant checks (main.cpp:475-486)
+        final = np.stack([np.asarray(x) for x in state])
+        has_nan = bool(np.isnan(final).any())
+        max_val = float(np.abs(final[np.isfinite(final)]).max())
+        if verbose:
+            if has_nan:
+                print("NaN detected")
+            print(f"Max field value: {max_val:g}\n")
+        if nsrc == 0 and max_val > 1e-7:
+            print(f"[FAIL] Non-zero field with nsrc==0: {max_val}")
+
+        results.append(
+            {
+                "method": method,
+                "size": gs,
+                "device_time_s": dstats.mean,
+                "gflops": gfstats.mean,
+                "gbps": gbstats.mean,
+                "memory_eff_pct": memory_eff,
+                "gcells_per_s": gs**3 * timesteps / dstats.mean / 1e9,
+                "nan": has_nan,
+            }
+        )
+        del sim, state
+    return results
