@@ -16,6 +16,14 @@ import time
 import numpy as np
 
 
+
+def _zero_rims(a, h=4):
+    a[:h] = 0; a[-h:] = 0
+    a[:, :h] = 0; a[:, -h:] = 0
+    a[..., :h] = 0; a[..., -h:] = 0
+    return a
+
+
 def main():
     import jax
 
@@ -49,12 +57,26 @@ def main():
     cfg = tf.SimConfig(dt=0.001, nsteps=nsteps, warmup_steps=warmup, backend="pallas")
     m = np.full(grid.padded_shape, 1.5, np.float32)
     u0 = np.zeros(grid.padded_shape, np.float32)
-    sim = tf.Simulator(grid, cfg, m)
+    # one Ricker source like the reference perf sweep (main.cpp:279-282);
+    # also keeps the field evolving so no layer can cache repeated identical
+    # executions
+    src = tf.ricker_table(nsteps, 1, cfg.dt)
+    coords = tf.default_source_coords(1, n, n, n)
+    sim = tf.Simulator(grid, cfg, m, coords)
 
+    # per-rep randomized ICs: repeated executions with bit-identical inputs
+    # can be served from an execution cache on this stack, which would fake
+    # the timing; random fields keep every rep's work real. (The reference
+    # zeroes u each rep, main.cpp:389 — timing is IC-independent.)
     times = []
-    for _rep in range(reps):
-        state = sim.prepare_state(u0, u0)
-        state, secs = sim.run_timed(state)
+    for rep in range(reps):
+        rng = np.random.default_rng(rep)
+        # zero rims so all ring levels share identical (frozen) rims and the
+        # fast in-place ring stays eligible
+        ua = _zero_rims(rng.standard_normal(grid.padded_shape).astype(np.float32))
+        ub = _zero_rims(rng.standard_normal(grid.padded_shape).astype(np.float32))
+        state = sim.prepare_state(ua, ub)
+        state, secs = sim.run_timed(state, src)
         times.append(secs)
     device_time = min(times)
 

@@ -9,7 +9,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NX, NY, NZ = 520, 528, 512
+NX, NY, NZ = 256, 256, 512
 PLANES = 8  # planes per DMA
 
 

@@ -125,7 +125,22 @@ class SimConfig:
     dt: float = 0.001
     nsteps: int = 50
     warmup_steps: int = 5
-    backend: str = "pallas"  # "jnp" | "pallas"
+    backend: str = "pallas"  # "jnp" | "pallas" | "pallas_v2"
     # bf16 storage / f32 compute mixed precision (the TPU analogue of the
     # reference's FP16-main-array + FP32-shadow design, cuda_optimized.cu:296-343).
     storage_dtype: str = "float32"  # "float32" | "bfloat16"
+    # uniform-medium fast path: None = auto-detect (m constant everywhere ->
+    # keep m out of HBM as a kernel scalar); the benchmark medium is uniform
+    # (m = 1.5, main.cpp:352)
+    assume_uniform_m: bool | None = None
+    # temporal fusion: timesteps computed per HBM pass (the reference's
+    # unimplemented FDTD_TFUSE knob, main.cpp:266-276). 0 = auto (use 2 when
+    # the fast ring is active and all sources sit >= radius+2 cells inside
+    # the interior); 1 = no fusion; 2 = fused pairs.
+    t_fuse: int = 0
+    # ring mode: "exact" = 3-buffer %3 ring, bit-faithful to the reference's
+    # per-ring-level frozen rims for ANY ICs; "fast" = 2-buffer in-place
+    # leapfrog (u_next overwrites u_prev), valid when all levels share
+    # identical rims and no source touches a rim (always true for the
+    # benchmark's zero ICs + interior sources); "auto" picks fast when legal
+    ring: str = "auto"

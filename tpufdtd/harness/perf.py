@@ -33,6 +33,13 @@ from ..wavelets import default_source_coords, ricker_table
 DEFAULT_GRIDS = (32, 64, 96, 128, 192, 256, 384, 512, 640, 768)
 
 
+def _zero_rims(a, h=4):
+    a[:h] = 0; a[-h:] = 0
+    a[:, :h] = 0; a[:, -h:] = 0
+    a[..., :h] = 0; a[..., -h:] = 0
+    return a
+
+
 def state_bytes(grid: Grid3D) -> int:
     """3 ring levels + m, f32 (the reference's 40 GB skip check uses the
     same 4-field count, main.cpp:337-341)."""
@@ -89,9 +96,15 @@ def run_benchmark(
 
         sim = Simulator(grid, cfg, m, coords)
         device_times, total_times = [], []
-        for _rep in range(reps):
+        for rep in range(reps):
+            # per-rep randomized ICs: bit-identical repeated executions can be
+            # served from an execution cache on this stack, faking timings;
+            # random fields keep every rep real (timing is IC-independent)
+            rng = np.random.default_rng(rep)
+            ua = _zero_rims(rng.standard_normal(shape).astype(np.float32))
+            ub = _zero_rims(rng.standard_normal(shape).astype(np.float32))
             t0 = time.perf_counter()
-            state = sim.prepare_state(u0, u0)
+            state = sim.prepare_state(ua, ub)
             state, secs = sim.run_timed(state, src)
             total = time.perf_counter() - t0
             device_times.append(secs)
@@ -177,8 +190,11 @@ def run_benchmark(
                 grid.order,
             )
 
-        # invariant checks (main.cpp:475-486)
-        final = np.stack([np.asarray(x) for x in state])
+        # invariant checks (main.cpp:475-486) on a zero-IC run like the
+        # reference's (timing reps above use random ICs)
+        state = sim.prepare_state(u0, u0)
+        state = sim.run(state, src)
+        final = np.stack([sim.engine.extract_level(x) for x in state])
         has_nan = bool(np.isnan(final).any())
         max_val = float(np.abs(final[np.isfinite(final)]).max())
         if verbose:

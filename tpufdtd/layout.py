@@ -89,3 +89,61 @@ class Layout:
         if self.is_reference:
             return arr_int
         return arr_int[self.embed_region()]
+
+
+@dataclasses.dataclass(frozen=True)
+class ZSplitLayout:
+    """TPU layout v3: the z rim lives in a separate side array so the core's
+    lane dimension is exactly nz (128-aligned for all large benchmark sizes,
+    avoiding the hidden (8,128) HBM tiling pad that inflates a 520-lane array
+    to 640 physical lanes by 23%).
+
+    Per ring level: core [nx+2*px, ny+2*py, nz] + zrim [same x/y, 2*halo]
+    (lanes [0:halo] = low rim, [halo:2*halo] = high rim). x/y rims stay
+    inside the core; y pads are widened to 8 for sublane alignment like
+    Layout.tpu.
+    """
+
+    grid: Grid3D
+    py: int = 8
+
+    @property
+    def px(self) -> int:
+        return self.grid.halo
+
+    @property
+    def core_shape(self) -> Tuple[int, int, int]:
+        g = self.grid
+        return (g.nx + 2 * self.px, g.ny + 2 * self.py, g.nz)
+
+    @property
+    def zrim_shape(self) -> Tuple[int, int, int]:
+        g = self.grid
+        return (g.nx + 2 * self.px, g.ny + 2 * self.py, 2 * g.halo)
+
+    def split(self, arr_ref: np.ndarray):
+        """Reference-layout [nx+2H, ny+2H, nz+2H] -> (core, zrim)."""
+        g = self.grid
+        h = g.halo
+        arr_ref = np.asarray(arr_ref)
+        dy = self.py - h
+        core = np.zeros(self.core_shape, arr_ref.dtype)
+        zrim = np.zeros(self.zrim_shape, arr_ref.dtype)
+        ys = slice(dy, dy + g.ny + 2 * h)
+        core[:, ys, :] = arr_ref[:, :, h : h + g.nz]
+        zrim[:, ys, :h] = arr_ref[:, :, :h]
+        zrim[:, ys, h:] = arr_ref[:, :, h + g.nz :]
+        return core, zrim
+
+    def join(self, core, zrim) -> np.ndarray:
+        g = self.grid
+        h = g.halo
+        core = np.asarray(core)
+        zrim = np.asarray(zrim)
+        dy = self.py - h
+        out = np.zeros((g.nx + 2 * h, g.ny + 2 * h, g.nz + 2 * h), core.dtype)
+        ys = slice(dy, dy + g.ny + 2 * h)
+        out[:, :, h : h + g.nz] = core[:, ys, :]
+        out[:, :, :h] = zrim[:, ys, :h]
+        out[:, :, h + g.nz :] = zrim[:, ys, h:]
+        return out

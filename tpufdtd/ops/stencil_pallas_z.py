@@ -1,0 +1,947 @@
+"""Pallas-TPU leapfrog kernel v3 — z-split layout, the headline fast path.
+
+Evolution of stencil_pallas (v2), redesigned around two measured v5e facts:
+  * HBM arrays are (8,128)-tiled, so a (…,520)-lane array physically moves
+    640 lanes: +23% hidden traffic. Here the core state array's lane dim is
+    exactly nz (ZSplitLayout) and the 8 z-rim planes live in a tiny side
+    array, so for the benchmark sizes (nz % 128 == 0) every byte moved is a
+    payload byte.
+  * The Mosaic block pipeline sustains ~280-350 GB/s for multi-stream
+    kernels, so bytes/step decide throughput: the uniform-medium fast path
+    (the benchmark always runs m = const, main.cpp:352) keeps m out of HBM
+    entirely as an SMEM-free closure scalar — 12 B/pt/step, matching the
+    reference's own "optimized" traffic model (main.cpp:139-144).
+
+Kernel structure (cf. the reference's XCHUNK plane sweep with smem ring,
+cuda_optimized.cu:146-237): grid tiles the interior into (bx, by) columns,
+u_cur arrives as a halo-extended `pl.Element` window, z neighbors come from
+lane-concats against the z-rim block, x/y rims are simply never visited
+(output aliases the donated target core), and the target's zrim array is
+untouched by construction — exact per-ring-level frozen-rim semantics with
+zero rim work.
+
+Math is f32 and mirrors openacc.cpp:102-107 term-for-term.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import Grid3D, stencil_weights
+from ..layout import ZSplitLayout
+
+DEFAULT_VMEM_BUDGET = 100 * 1024 * 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _divisors_le(n: int, cap: int):
+    return [d for d in range(1, min(n, cap) + 1) if n % d == 0]
+
+
+def supported(grid: Grid3D) -> bool:
+    """v3 needs y-tileable interiors; any nz works (nz%128 is a perf, not a
+    correctness, condition)."""
+    return grid.ny % 8 == 0 and grid.radius <= 4
+
+
+def block_vmem_bytes(
+    bx: int, by: int, grid: Grid3D, py: int, uniform_m: bool
+) -> int:
+    lanes = _round_up(grid.nz, 128)
+    win = (bx + 2 * grid.radius) * _round_up(by + 2 * py, 8) * lanes
+    core = bx * _round_up(by, 8) * lanes
+    zr = bx * _round_up(by, 8) * 128
+    n_core_streams = 2 if uniform_m else 3  # u_prev, out, (m)
+    return 4 * (2 * win + n_core_streams * 2 * core + 2 * zr + 5 * core)
+
+
+def choose_tiling(
+    grid: Grid3D,
+    py: int = 8,
+    uniform_m: bool = True,
+    vmem_budget_bytes: int = DEFAULT_VMEM_BUDGET,
+) -> Tuple[int, int]:
+    best, best_score = None, -1.0
+    for by in [d for d in _divisors_le(grid.ny, 2048) if d % 8 == 0]:
+        for bx in _divisors_le(grid.nx, 256):
+            if block_vmem_bytes(bx, by, grid, py, uniform_m) > vmem_budget_bytes:
+                continue
+            eff = (bx * by) / ((bx + 2 * grid.radius) * (by + 2 * py))
+            score = eff + 1e-9 * bx * by
+            if score > best_score:
+                best_score, best = score, (bx, by)
+    return best if best is not None else (1, 8)
+
+
+def _kernel(
+    uc_ref,
+    zr_ref,
+    up_ref,
+    *rest,
+    bx: int,
+    by: int,
+    py: int,
+    grid: Grid3D,
+    dt: float,
+    m_val: Optional[float],
+):
+    if m_val is None:
+        m_ref, _t_ref, out_ref = rest
+        m = m_ref[...]
+    else:
+        _t_ref, out_ref = rest
+        m = np.float32(m_val)
+    R = grid.radius
+    h = grid.halo
+    nz = grid.nz
+    W = stencil_weights(grid.order)
+    dt32 = np.float32(dt)
+    hx, hy, hz = np.float32(grid.hx), np.float32(grid.hy), np.float32(grid.hz)
+    r2 = np.float32(1.0) / (hx * hx)
+    r3 = np.float32(1.0) / (hy * hy)
+    r4 = np.float32(1.0) / (hz * hz)
+    r1 = np.float32(1.0) / (dt32 * dt32)
+
+    uc = uc_ref[...].astype(jnp.float32)  # (bx+2R, by+2py, nz)
+    zr = zr_ref[...].astype(jnp.float32)  # (bx, by, 2h)
+    c = uc[R : R + bx, py : py + by, :]
+
+    r5 = W[0] * c
+    tx, ty, tz = r5, r5, r5
+    for d in range(R, 0, -1):
+        tx = tx + W[d] * (
+            uc[R - d : R - d + bx, py : py + by, :]
+            + uc[R + d : R + d + bx, py : py + by, :]
+        )
+        ty = ty + W[d] * (
+            uc[R : R + bx, py - d : py - d + by, :]
+            + uc[R : R + bx, py + d : py + d + by, :]
+        )
+        zplus = jnp.concatenate([c[:, :, d:], zr[:, :, h : h + d]], axis=2)
+        zminus = jnp.concatenate([zr[:, :, h - d : h], c[:, :, : nz - d]], axis=2)
+        tz = tz + W[d] * (zplus + zminus)
+
+    up = up_ref[...].astype(jnp.float32)
+    upd = (
+        dt32
+        * dt32
+        * (r2 * tx + r3 * ty + r4 * tz - (np.float32(-2.0) * r1 * c + r1 * up) * m)
+        / m
+    )
+    out_ref[...] = upd.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "dt", "bx", "by", "m_val", "interpret", "vmem_limit"),
+)
+def leapfrog_step_zsplit(
+    c_core: jnp.ndarray,
+    c_zrim: jnp.ndarray,
+    p_core: jnp.ndarray,
+    t_core: jnp.ndarray,
+    m_core: Optional[jnp.ndarray] = None,
+    *,
+    grid: Grid3D,
+    dt: float,
+    bx: int,
+    by: int,
+    m_val: Optional[float] = None,
+    interpret: bool = False,
+    vmem_limit: int = 110 * 1024 * 1024,
+) -> jnp.ndarray:
+    """One step on z-split state; returns u_next core in t_core's buffer."""
+    lay = ZSplitLayout(grid)
+    py, px = lay.py, lay.px
+    R, h = grid.radius, grid.halo
+    nz = grid.nz
+
+    assert grid.nx % bx == 0 and grid.ny % by == 0 and by % 8 == 0
+    gx, gy = grid.nx // bx, grid.ny // by
+    mo = pl.multiple_of
+
+    win_spec = pl.BlockSpec(
+        (pl.Element(bx + 2 * R), pl.Element(by + 2 * py), pl.Element(nz)),
+        lambda i, j: (px + i * bx - R, mo(j * by, 8), 0),
+        memory_space=pltpu.VMEM,
+    )
+    core_spec = pl.BlockSpec(
+        (pl.Element(bx), pl.Element(by), pl.Element(nz)),
+        lambda i, j: (px + i * bx, mo(py + j * by, 8), 0),
+        memory_space=pltpu.VMEM,
+    )
+    zrim_spec = pl.BlockSpec(
+        (pl.Element(bx), pl.Element(by), pl.Element(2 * h)),
+        lambda i, j: (px + i * bx, mo(py + j * by, 8), 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    kern = functools.partial(
+        _kernel, bx=bx, by=by, py=py, grid=grid, dt=dt, m_val=m_val
+    )
+
+    inputs = [c_core, c_zrim, p_core]
+    in_specs = [win_spec, zrim_spec, core_spec]
+    if m_val is None:
+        assert m_core is not None
+        inputs.append(m_core)
+        in_specs.append(core_spec)
+    inputs.append(t_core)
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    alias_idx = len(inputs) - 1
+
+    flops_per_pt = 3 * (grid.order + 1) * 2 + 6
+    bytes_pt = 12 if m_val is not None else 16
+    cost = pl.CostEstimate(
+        flops=flops_per_pt * grid.interior_cells,
+        bytes_accessed=bytes_pt * grid.interior_cells,
+        transcendentals=0,
+    )
+
+    return pl.pallas_call(
+        kern,
+        grid=(gx, gy),
+        in_specs=in_specs,
+        out_specs=core_spec,
+        out_shape=jax.ShapeDtypeStruct(t_core.shape, t_core.dtype),
+        input_output_aliases={alias_idx: 0},
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_limit,
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+
+def make_step(
+    grid: Grid3D,
+    dt: float,
+    m_val: Optional[float] = None,
+    vmem_budget_bytes: int = DEFAULT_VMEM_BUDGET,
+):
+    """Bind static config; returns step(C, P, m_core, T) over z-split levels
+    (each level is a (core, zrim) pair). m_core is ignored when m_val is set
+    (uniform-medium fast path)."""
+    bx, by = choose_tiling(grid, uniform_m=m_val is not None,
+                           vmem_budget_bytes=vmem_budget_bytes)
+    interpret = jax.default_backend() != "tpu"
+
+    def step(C, P, m_core, T):
+        c_core, c_zrim = C
+        p_core, _ = P
+        t_core, t_zrim = T
+        un_core = leapfrog_step_zsplit(
+            c_core,
+            c_zrim,
+            p_core,
+            t_core,
+            None if m_val is not None else m_core,
+            grid=grid,
+            dt=dt,
+            bx=bx,
+            by=by,
+            m_val=m_val,
+            interpret=interpret,
+        )
+        return (un_core, t_zrim)
+
+    return step
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "dt", "bx", "by", "m_val", "interpret", "vmem_limit"),
+)
+def leapfrog_step_inplace(
+    c_core: jnp.ndarray,
+    c_zrim: jnp.ndarray,
+    p_core: jnp.ndarray,
+    m_core: Optional[jnp.ndarray] = None,
+    *,
+    grid: Grid3D,
+    dt: float,
+    bx: int,
+    by: int,
+    m_val: Optional[float] = None,
+    interpret: bool = False,
+    vmem_limit: int = 110 * 1024 * 1024,
+) -> jnp.ndarray:
+    """Two-buffer in-place step: u_next overwrites p_core's donated buffer
+    (u_new = 2u - u_prev + ... reads p only at the block it rewrites, so the
+    in-place alias is race-free). Measured ~20% faster than the 3-buffer
+    ring on the target chip, where same-buffer read+write DMA patterns beat
+    cross-buffer writes.
+
+    Valid whenever all ring levels share identical rims (zero-IC perf runs;
+    rims never change because z rims live in the side array and x/y rims are
+    never written). The 3-buffer ring (leapfrog_step_zsplit) remains the
+    exact-parity path for the reference's mixed-rim correctness IC.
+    """
+    lay = ZSplitLayout(grid)
+    py, px = lay.py, lay.px
+    R, h = grid.radius, grid.halo
+    nz = grid.nz
+
+    assert grid.nx % bx == 0 and grid.ny % by == 0 and by % 8 == 0
+    gx, gy = grid.nx // bx, grid.ny // by
+    mo = pl.multiple_of
+
+    win_spec = pl.BlockSpec(
+        (pl.Element(bx + 2 * R), pl.Element(by + 2 * py), pl.Element(nz)),
+        lambda i, j: (px + i * bx - R, mo(j * by, 8), 0),
+        memory_space=pltpu.VMEM,
+    )
+    core_spec = pl.BlockSpec(
+        (pl.Element(bx), pl.Element(by), pl.Element(nz)),
+        lambda i, j: (px + i * bx, mo(py + j * by, 8), 0),
+        memory_space=pltpu.VMEM,
+    )
+    zrim_spec = pl.BlockSpec(
+        (pl.Element(bx), pl.Element(by), pl.Element(2 * h)),
+        lambda i, j: (px + i * bx, mo(py + j * by, 8), 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    def kern2(uc_ref, zr_ref, up_ref, *rest):
+        _kernel(
+            uc_ref,
+            zr_ref,
+            up_ref,
+            *rest[:-1],
+            None,
+            rest[-1],
+            bx=bx,
+            by=by,
+            py=py,
+            grid=grid,
+            dt=dt,
+            m_val=m_val,
+        )
+
+    inputs = [c_core, c_zrim, p_core]
+    in_specs = [win_spec, zrim_spec, core_spec]
+    if m_val is None:
+        assert m_core is not None
+        inputs.append(m_core)
+        in_specs.append(core_spec)
+    alias_idx = 2  # p_core
+
+    flops_per_pt = 3 * (grid.order + 1) * 2 + 6
+    bytes_pt = 12 if m_val is not None else 16
+    cost = pl.CostEstimate(
+        flops=flops_per_pt * grid.interior_cells,
+        bytes_accessed=bytes_pt * grid.interior_cells,
+        transcendentals=0,
+    )
+
+    return pl.pallas_call(
+        kern2,
+        grid=(gx, gy),
+        in_specs=in_specs,
+        out_specs=core_spec,
+        out_shape=jax.ShapeDtypeStruct(p_core.shape, p_core.dtype),
+        input_output_aliases={alias_idx: 0},
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_limit,
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+
+def make_step_inplace(
+    grid: Grid3D,
+    dt: float,
+    m_val: Optional[float] = None,
+    vmem_budget_bytes: int = DEFAULT_VMEM_BUDGET,
+):
+    """step(C_core, P_core, m_core, zrim) -> u_next core (in P's buffer)."""
+    bx, by = choose_tiling(grid, uniform_m=m_val is not None,
+                           vmem_budget_bytes=vmem_budget_bytes)
+    interpret = jax.default_backend() != "tpu"
+
+    def step(c_core, p_core, m_core, zrim):
+        return leapfrog_step_inplace(
+            c_core,
+            c_zrim=zrim,
+            p_core=p_core,
+            m_core=None if m_val is not None else m_core,
+            grid=grid,
+            dt=dt,
+            bx=bx,
+            by=by,
+            m_val=m_val,
+            interpret=interpret,
+        )
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Temporal fusion: K=2 leapfrog steps per HBM pass.
+#
+# The chip's flat ~235 GB/s pipeline rate makes bytes/step the throughput
+# law. Fusing two steps amortizes the streams: read u_n (double-halo window)
+# + read u_{n-1} (single-halo window) + write u_{n+1} + write u_{n+2}
+# ~= 2.3-2.6 stream-units per step instead of 3.4 for the single in-place
+# step. Stage 1 computes u_{n+1} on a radius-R-extended region entirely in
+# VMEM (the classic overlapped-tiling trade: a little redundant VPU work --
+# which is free here, DMA-bound -- for halved traffic); stage 2 consumes it
+# without touching HBM. The reference left this idea as the unimplemented
+# FDTD_TFUSE env knob (main.cpp:266-276, DEBUG.md tensor-core notes).
+#
+# Frozen-rim boundaries: stage 1 results outside the global interior are
+# replaced by the (frozen) u_n values via edge masks, so stage 2 sees exactly
+# the rim values the unfused scheme would. z edges keep using the shared zrim
+# side array at both stages. Requires the fast identical-rim regime.
+#
+# Source injection is LINEAR, so a fused block ignores it and the caller adds
+# the exact correction afterwards: delta u_{n+1} = s_n * w (the 8 trilinear
+# corners) and delta u_{n+2} = s_n * (A w) + s_{n+1} * w, where A w is the
+# corner pattern propagated one homogeneous step (a tiny static cube,
+# precomputed with the oracle). Exact up to fp rounding by superposition.
+# ---------------------------------------------------------------------------
+
+
+def _fused2_kernel(
+    uc_ref, zr_ref, up_ref, _s1_ref, _s2_ref, out1_ref, out2_ref, u1_ref,
+    *, bx, by, py, grid, dt, m_val
+):
+    R = grid.radius
+    h = grid.halo
+    nz = grid.nz
+    W = stencil_weights(grid.order)
+    dt32 = np.float32(dt)
+    hx, hy, hz = np.float32(grid.hx), np.float32(grid.hy), np.float32(grid.hz)
+    r2 = np.float32(1.0) / (hx * hx)
+    r3 = np.float32(1.0) / (hy * hy)
+    r4 = np.float32(1.0) / (hz * hz)
+    r1 = np.float32(1.0) / (dt32 * dt32)
+    m = np.float32(m_val)
+
+    uc = uc_ref[...]  # (bx+4R, by+2py, nz)
+    zr = zr_ref[...]  # (bx+2R, by+2py, 2h)
+    up = up_ref[...]  # (bx+2R, by+2py, nz)
+
+    def leap(cur, prev, zrim, cx, cy, ex, ey):
+        """One leapfrog update on a region of x-size ex, y-size ey whose
+        origin sits at (cx, cy) inside `cur`; zrim's region origin is
+        (cx - R?, ...) -- callers pass zrim pre-sliced to the SAME region."""
+        c = cur[cx : cx + ex, cy : cy + ey, :]
+        r5 = W[0] * c
+        tx, ty, tz = r5, r5, r5
+        for d in range(R, 0, -1):
+            tx = tx + W[d] * (
+                cur[cx - d : cx - d + ex, cy : cy + ey, :]
+                + cur[cx + d : cx + d + ex, cy : cy + ey, :]
+            )
+            ty = ty + W[d] * (
+                cur[cx : cx + ex, cy - d : cy - d + ey, :]
+                + cur[cx : cx + ex, cy + d : cy + d + ey, :]
+            )
+            zp = jnp.concatenate([c[:, :, d:], zrim[:, :, h : h + d]], axis=2)
+            zm = jnp.concatenate([zrim[:, :, h - d : h], c[:, :, : nz - d]], axis=2)
+            tz = tz + W[d] * (zp + zm)
+        return (
+            dt32
+            * dt32
+            * (r2 * tx + r3 * ty + r4 * tz - (np.float32(-2.0) * r1 * c + r1 * prev) * m)
+            / m
+        ), c
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    # ---- stage 1: u_{n+1} on the R-extended region E1 ----------------------
+    ex, ey = bx + 2 * R, by + 2 * R
+    zrE = zr[:, py - R : py - R + ey, :]
+    upE = up[:, py - R : py - R + ey, :]
+    upd1, cE = leap(uc, upE, zrE, R, py - R, ex, ey)
+    # freeze positions outside the global interior (edge tiles only)
+    gx0 = i * bx - R
+    gy0 = j * by - R
+    xi = jax.lax.broadcasted_iota(jnp.int32, (ex, 1, 1), 0) + gx0
+    yi = jax.lax.broadcasted_iota(jnp.int32, (1, ey, 1), 1) + gy0
+    mask = (xi >= 0) & (xi < grid.nx) & (yi >= 0) & (yi < grid.ny)
+    # u1 is staged through a scratch ref WITH its frozen z rim embedded in
+    # the lane dim ([zrim_lo | u1 | zrim_hi]), so stage 2's z neighbors are
+    # plain slices — Mosaic cannot concat values with mismatched layout
+    # offsets, and the round-trip normalizes the vector layout.
+    u1_ref[:, :, h : h + nz] = jnp.where(mask, upd1, cE)
+    u1_ref[:, :, 0:h] = zrE[:, :, 0:h]
+    u1_ref[:, :, h + nz :] = zrE[:, :, h:]
+
+    # ---- stage 2: u_{n+2} on the core --------------------------------------
+    u1z = u1_ref[...]  # (bx+2R, by+2R, nz+2h)
+    upC = uc[2 * R : 2 * R + bx, py : py + by, :]  # u_n at the core
+
+    c2 = u1z[R : R + bx, R : R + by, h : h + nz]
+    r5 = W[0] * c2
+    tx, ty, tz = r5, r5, r5
+    for d in range(R, 0, -1):
+        tx = tx + W[d] * (
+            u1z[R - d : R - d + bx, R : R + by, h : h + nz]
+            + u1z[R + d : R + d + bx, R : R + by, h : h + nz]
+        )
+        ty = ty + W[d] * (
+            u1z[R : R + bx, R - d : R - d + by, h : h + nz]
+            + u1z[R : R + bx, R + d : R + d + by, h : h + nz]
+        )
+        tz = tz + W[d] * (
+            u1z[R : R + bx, R : R + by, h - d : h - d + nz]
+            + u1z[R : R + bx, R : R + by, h + d : h + d + nz]
+        )
+    upd2 = (
+        dt32
+        * dt32
+        * (r2 * tx + r3 * ty + r4 * tz
+           - (np.float32(-2.0) * r1 * c2 + r1 * upC) * m)
+        / m
+    )
+
+    out1_ref[...] = u1z[R : R + bx, R : R + by, h : h + nz]
+    out2_ref[...] = upd2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "dt", "bx", "by", "m_val", "interpret", "vmem_limit"),
+)
+def leapfrog_fused2(
+    c_core: jnp.ndarray,
+    c_zrim: jnp.ndarray,
+    p_core: jnp.ndarray,
+    s1_core: jnp.ndarray,
+    s2_core: jnp.ndarray,
+    *,
+    grid: Grid3D,
+    dt: float,
+    bx: int,
+    by: int,
+    m_val: float,
+    interpret: bool = False,
+    vmem_limit: int = 120 * 1024 * 1024,
+):
+    """Two fused steps; returns (u_{n+1}, u_{n+2}) in the donated spare
+    buffers s1/s2 (which are never read: no aliasing hazard)."""
+    lay = ZSplitLayout(grid)
+    py, px = lay.py, lay.px
+    R = grid.radius
+    nz = grid.nz
+    assert 2 * R <= px and 2 * R <= py
+    assert grid.nx % bx == 0 and grid.ny % by == 0 and by % 8 == 0
+    gx, gy = grid.nx // bx, grid.ny // by
+    mo = pl.multiple_of
+
+    uc_spec = pl.BlockSpec(
+        (pl.Element(bx + 4 * R), pl.Element(by + 2 * py), pl.Element(nz)),
+        lambda i, j: (px + i * bx - 2 * R, mo(j * by, 8), 0),
+        memory_space=pltpu.VMEM,
+    )
+    up_spec = pl.BlockSpec(
+        (pl.Element(bx + 2 * R), pl.Element(by + 2 * py), pl.Element(nz)),
+        lambda i, j: (px + i * bx - R, mo(j * by, 8), 0),
+        memory_space=pltpu.VMEM,
+    )
+    zr_spec = pl.BlockSpec(
+        (pl.Element(bx + 2 * R), pl.Element(by + 2 * py), pl.Element(2 * grid.halo)),
+        lambda i, j: (px + i * bx - R, mo(j * by, 8), 0),
+        memory_space=pltpu.VMEM,
+    )
+    core_spec = pl.BlockSpec(
+        (pl.Element(bx), pl.Element(by), pl.Element(nz)),
+        lambda i, j: (px + i * bx, mo(py + j * by, 8), 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    kern = functools.partial(
+        _fused2_kernel, bx=bx, by=by, py=py, grid=grid, dt=dt, m_val=m_val
+    )
+    flops_per_pt = 2 * (3 * (grid.order + 1) * 2 + 6)
+    cost = pl.CostEstimate(
+        flops=flops_per_pt * grid.interior_cells,
+        bytes_accessed=16 * grid.interior_cells,
+        transcendentals=0,
+    )
+
+    return pl.pallas_call(
+        kern,
+        grid=(gx, gy),
+        in_specs=[uc_spec, zr_spec, up_spec,
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(core_spec, core_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct(s1_core.shape, s1_core.dtype),
+            jax.ShapeDtypeStruct(s2_core.shape, s2_core.dtype),
+        ),
+        input_output_aliases={3: 0, 4: 1},
+        scratch_shapes=[
+            pltpu.VMEM((bx + 2 * R, by + 2 * R, nz + 2 * grid.halo), jnp.float32)
+        ],
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_limit,
+        ),
+        interpret=interpret,
+    )(c_core, c_zrim, p_core, s1_core, s2_core)
+
+
+def choose_tiling_fused2(
+    grid: Grid3D, py: int = 8, vmem_budget_bytes: int = 100 * 1024 * 1024
+) -> Tuple[int, int]:
+    R = grid.radius
+    lanes = _round_up(grid.nz, 128)
+    best, best_score = None, -1e18
+    for by in [d for d in _divisors_le(grid.ny, 2048) if d % 8 == 0]:
+        for bx in _divisors_le(grid.nx, 256):
+            win_y = _round_up(by + 2 * py, 8)
+            uc = (bx + 4 * R) * win_y * lanes
+            up = (bx + 2 * R) * win_y * lanes
+            core = bx * _round_up(by, 8) * lanes
+            u1 = (bx + 2 * R) * _round_up(by + 2 * R, 8) * lanes
+            vmem = 4 * (2 * (uc + up) + 2 * 2 * core + u1 + 5 * core)
+            if vmem > vmem_budget_bytes:
+                continue
+            units = ((bx + 4 * R) * win_y + (bx + 2 * R) * win_y) / (bx * by) + 2.0
+            score = -units + 1e-9 * bx * by
+            if score > best_score:
+                best_score, best = score, (bx, by)
+    return best if best is not None else (8, 8)
+
+
+def make_fused2_step(
+    grid: Grid3D,
+    dt: float,
+    m_val: float,
+    vmem_budget_bytes: int = 100 * 1024 * 1024,
+):
+    bx, by = choose_tiling_fused2(grid, vmem_budget_bytes=vmem_budget_bytes)
+    interpret = jax.default_backend() != "tpu"
+
+    def step(c_core, p_core, s1_core, s2_core, zrim):
+        return leapfrog_fused2(
+            c_core,
+            zrim,
+            p_core,
+            s1_core,
+            s2_core,
+            grid=grid,
+            dt=dt,
+            bx=bx,
+            by=by,
+            m_val=m_val,
+            interpret=interpret,
+        )
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Packed-state variants (v4).
+#
+# Measured on the target chip: DMA throughput strongly favors address
+# locality — read+write of one region runs ~2x faster than streaming
+# distinct regions. Packing the time levels into ONE array U[L,nxp,nyp,nz]
+# (a single XLA buffer and a single pallas operand) exploits this:
+#
+#   * single step: U[2]; one window block spans BOTH levels (the stencil
+#     level's halo is needed anyway; the prev level rides along — its halo
+#     rows are fetched but unused). The output overwrites the prev level's
+#     interior tiles, aliased onto the same operand. Cross-block safety: the
+#     only bytes a block READS that another block WRITES are those unused
+#     halo rows of the prev level — torn values there never enter compute.
+#   * fused 2 steps: U[4] with level roles alternating statically:
+#     call A reads levels (2,3) = (prev,cur), writes levels (0,1) =
+#     (u_{n+1}, u_{n+2}); call B mirrors. Reads and writes touch disjoint
+#     levels, and both result levels leave through ONE aliased output
+#     (adjacent indices, Element(2) leading block) — impossible with
+#     separate per-level buffers.
+# ---------------------------------------------------------------------------
+
+
+def _leap_math(grid, dt, m_val):
+    R = grid.radius
+    h = grid.halo
+    nz = grid.nz
+    W = stencil_weights(grid.order)
+    dt32 = np.float32(dt)
+    hx, hy, hz = np.float32(grid.hx), np.float32(grid.hy), np.float32(grid.hz)
+    rax = (
+        np.float32(1.0) / (hx * hx),
+        np.float32(1.0) / (hy * hy),
+        np.float32(1.0) / (hz * hz),
+    )
+    r1 = np.float32(1.0) / (dt32 * dt32)
+    m = np.float32(m_val)
+
+    def leap(cur, prev, zrim, ox, oy, ex, ey):
+        """Update on an (ex, ey, nz) region whose origin is (ox, oy) in
+        `cur`; `prev` and `zrim` must already be sliced to that region."""
+        c = cur[ox : ox + ex, oy : oy + ey, :]
+        r5 = W[0] * c
+        tx, ty, tz = r5, r5, r5
+        for d in range(R, 0, -1):
+            tx = tx + W[d] * (
+                cur[ox - d : ox - d + ex, oy : oy + ey, :]
+                + cur[ox + d : ox + d + ex, oy : oy + ey, :]
+            )
+            ty = ty + W[d] * (
+                cur[ox : ox + ex, oy - d : oy - d + ey, :]
+                + cur[ox : ox + ex, oy + d : oy + d + ey, :]
+            )
+            zp = jnp.concatenate([c[:, :, d:], zrim[:, :, h : h + d]], axis=2)
+            zm = jnp.concatenate(
+                [zrim[:, :, h - d : h], c[:, :, : nz - d]], axis=2
+            )
+            tz = tz + W[d] * (zp + zm)
+        upd = (
+            dt32
+            * dt32
+            * (
+                rax[0] * tx
+                + rax[1] * ty
+                + rax[2] * tz
+                - (np.float32(-2.0) * r1 * c + r1 * prev) * m
+            )
+            / m
+        )
+        return upd, c
+
+    return leap
+
+
+def _packed_single_kernel(u_ref, zr_ref, out_ref, *, bx, by, py, grid, dt,
+                          m_val, cur):
+    prev = 1 - cur
+    R = grid.radius
+    leap = _leap_math(grid, dt, m_val)
+    U = u_ref[...]  # (2, bx+2R, by+2py, nz)
+    zr = zr_ref[...]
+    prevC = U[prev, R : R + bx, py : py + by, :]
+    upd, _ = leap(U[cur], prevC, zr, R, py, bx, by)
+    out_ref[...] = upd[None].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "dt", "bx", "by", "m_val", "cur", "base",
+                     "interpret", "vmem_limit"),
+)
+def packed_step(
+    U: jnp.ndarray,
+    zrim: jnp.ndarray,
+    *,
+    grid: Grid3D,
+    dt: float,
+    bx: int,
+    by: int,
+    m_val: float,
+    cur: int,
+    base: int = 0,
+    interpret: bool = False,
+    vmem_limit: int = 110 * 1024 * 1024,
+):
+    """One in-place step on the level pair [base, base+2) of packed U:
+    pair offset 1-cur becomes u_next."""
+    lay = ZSplitLayout(grid)
+    py, px = lay.py, lay.px
+    R = grid.radius
+    nz = grid.nz
+    prev = 1 - cur
+    assert grid.nx % bx == 0 and grid.ny % by == 0 and by % 8 == 0
+    gx, gy = grid.nx // bx, grid.ny // by
+    mo = pl.multiple_of
+
+    win_spec = pl.BlockSpec(
+        (pl.Element(2), pl.Element(bx + 2 * R), pl.Element(by + 2 * py),
+         pl.Element(nz)),
+        lambda i, j: (base, px + i * bx - R, mo(j * by, 8), 0),
+        memory_space=pltpu.VMEM,
+    )
+    zr_spec = pl.BlockSpec(
+        (pl.Element(bx), pl.Element(by), pl.Element(2 * grid.halo)),
+        lambda i, j: (px + i * bx, mo(py + j * by, 8), 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (pl.Element(1), pl.Element(bx), pl.Element(by), pl.Element(nz)),
+        lambda i, j: (base + prev, px + i * bx, mo(py + j * by, 8), 0),
+        memory_space=pltpu.VMEM,
+    )
+    kern = functools.partial(
+        _packed_single_kernel, bx=bx, by=by, py=py, grid=grid, dt=dt,
+        m_val=m_val, cur=cur,
+    )
+    flops_per_pt = 3 * (grid.order + 1) * 2 + 6
+    cost = pl.CostEstimate(
+        flops=flops_per_pt * grid.interior_cells,
+        bytes_accessed=12 * grid.interior_cells,
+        transcendentals=0,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(gx, gy),
+        in_specs=[win_spec, zr_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct(U.shape, U.dtype),
+        input_output_aliases={0: 0},
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_limit,
+        ),
+        interpret=interpret,
+    )(U, zrim)
+
+
+def _packed_fused_kernel(u_ref, zr_ref, out_ref, u1_ref, *, bx, by, py, grid,
+                         dt, m_val, src_lvl):
+    """Two fused steps: read levels (src_lvl, src_lvl+1) = (prev, cur),
+    write (u_{n+1}, u_{n+2}) into the two output levels."""
+    R = grid.radius
+    h = grid.halo
+    nz = grid.nz
+    leap = _leap_math(grid, dt, m_val)
+    U = u_ref[...]  # (2, bx+4R, by+2py, nz): [prev, cur] at window extent
+    zr = zr_ref[...]  # (bx+2R, by+2py, 2h)
+
+    curW = U[1]
+    # stage 1: u_{n+1} on the R-extended region E1
+    ex, ey = bx + 2 * R, by + 2 * R
+    zrE = zr[:, py - R : py - R + ey, :]
+    prevE = U[0, R : R + ex, py - R : py - R + ey, :]
+    upd1, cE = leap(curW, prevE, zrE, R, py - R, ex, ey)
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (ex, 1, 1), 0) + i * bx - R
+    yi = jax.lax.broadcasted_iota(jnp.int32, (1, ey, 1), 1) + j * by - R
+    mask = (xi >= 0) & (xi < grid.nx) & (yi >= 0) & (yi < grid.ny)
+    # stage u1 with its frozen z rim embedded so stage 2 is slice-only
+    u1_ref[:, :, h : h + nz] = jnp.where(mask, upd1, cE)
+    u1_ref[:, :, 0:h] = zrE[:, :, 0:h]
+    u1_ref[:, :, h + nz :] = zrE[:, :, h:]
+
+    u1z = u1_ref[...]
+    W = stencil_weights(grid.order)
+    dt32 = np.float32(dt)
+    hx, hy, hz = np.float32(grid.hx), np.float32(grid.hy), np.float32(grid.hz)
+    r2 = np.float32(1.0) / (hx * hx)
+    r3 = np.float32(1.0) / (hy * hy)
+    r4 = np.float32(1.0) / (hz * hz)
+    r1 = np.float32(1.0) / (dt32 * dt32)
+    m = np.float32(m_val)
+    c2 = u1z[R : R + bx, R : R + by, h : h + nz]
+    upC = curW[2 * R : 2 * R + bx, py : py + by, :]
+    r5 = W[0] * c2
+    tx, ty, tz = r5, r5, r5
+    for d in range(R, 0, -1):
+        tx = tx + W[d] * (
+            u1z[R - d : R - d + bx, R : R + by, h : h + nz]
+            + u1z[R + d : R + d + bx, R : R + by, h : h + nz]
+        )
+        ty = ty + W[d] * (
+            u1z[R : R + bx, R - d : R - d + by, h : h + nz]
+            + u1z[R : R + bx, R + d : R + d + by, h : h + nz]
+        )
+        tz = tz + W[d] * (
+            u1z[R : R + bx, R : R + by, h - d : h - d + nz]
+            + u1z[R : R + bx, R : R + by, h + d : h + d + nz]
+        )
+    upd2 = (
+        dt32 * dt32
+        * (r2 * tx + r3 * ty + r4 * tz
+           - (np.float32(-2.0) * r1 * c2 + r1 * upC) * m)
+        / m
+    )
+
+    out_ref[0] = u1z[R : R + bx, R : R + by, h : h + nz].astype(out_ref.dtype)
+    out_ref[1] = upd2.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "dt", "bx", "by", "m_val", "phase", "interpret",
+                     "vmem_limit"),
+)
+def packed_fused2(
+    U: jnp.ndarray,
+    zrim: jnp.ndarray,
+    *,
+    grid: Grid3D,
+    dt: float,
+    bx: int,
+    by: int,
+    m_val: float,
+    phase: int,  # 0: read levels (2,3), write (0,1); 1: mirrored
+    interpret: bool = False,
+    vmem_limit: int = 120 * 1024 * 1024,
+):
+    """Two fused in-place steps on packed U[4,...]."""
+    lay = ZSplitLayout(grid)
+    py, px = lay.py, lay.px
+    R = grid.radius
+    nz = grid.nz
+    src_lvl = 2 if phase == 0 else 0
+    dst_lvl = 0 if phase == 0 else 2
+    assert 2 * R <= px and 2 * R <= py
+    assert grid.nx % bx == 0 and grid.ny % by == 0 and by % 8 == 0
+    gx, gy = grid.nx // bx, grid.ny // by
+    mo = pl.multiple_of
+
+    win_spec = pl.BlockSpec(
+        (pl.Element(2), pl.Element(bx + 4 * R), pl.Element(by + 2 * py),
+         pl.Element(nz)),
+        lambda i, j: (src_lvl, px + i * bx - 2 * R, mo(j * by, 8), 0),
+        memory_space=pltpu.VMEM,
+    )
+    zr_spec = pl.BlockSpec(
+        (pl.Element(bx + 2 * R), pl.Element(by + 2 * py), pl.Element(2 * grid.halo)),
+        lambda i, j: (px + i * bx - R, mo(j * by, 8), 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (pl.Element(2), pl.Element(bx), pl.Element(by), pl.Element(nz)),
+        lambda i, j: (dst_lvl, px + i * bx, mo(py + j * by, 8), 0),
+        memory_space=pltpu.VMEM,
+    )
+    kern = functools.partial(
+        _packed_fused_kernel, bx=bx, by=by, py=py, grid=grid, dt=dt,
+        m_val=m_val, src_lvl=src_lvl,
+    )
+    flops_per_pt = 2 * (3 * (grid.order + 1) * 2 + 6)
+    cost = pl.CostEstimate(
+        flops=flops_per_pt * grid.interior_cells,
+        bytes_accessed=16 * grid.interior_cells,
+        transcendentals=0,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(gx, gy),
+        in_specs=[win_spec, zr_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct(U.shape, U.dtype),
+        input_output_aliases={0: 0},
+        scratch_shapes=[
+            pltpu.VMEM((bx + 2 * R, by + 2 * R, nz + 2 * grid.halo), jnp.float32)
+        ],
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_limit,
+        ),
+        interpret=interpret,
+    )(U, zrim)

@@ -122,3 +122,99 @@ def inject(u: jnp.ndarray, term: SourceTerm, src_t: jnp.ndarray) -> jnp.ndarray:
         return u
     vals = src_t[term.src_idx] * term.scale
     return u.at[term.ix, term.iy, term.iz].add(vals, mode="drop")
+
+
+def split_source_term(term: SourceTerm, lay) -> tuple:
+    """Map a reference-layout SourceTerm onto a ZSplitLayout: corners whose z
+    index falls in the z rim go to the zrim side array, the rest to the core.
+    (Corners one cell outside the interior are legal injection targets,
+    cuda.cu:155-156, and land in the rim.)"""
+    g = lay.grid
+    h = g.halo
+    dy = lay.py - h
+    if term.empty:
+        return term, term
+
+    iz = term.iz.astype(np.int64)
+    in_lo = iz < h
+    in_hi = iz >= h + g.nz
+    in_rim = in_lo | in_hi
+    iy = term.iy + np.int32(dy)
+
+    def pick(mask, iz_mapped):
+        return SourceTerm(
+            ix=term.ix[mask],
+            iy=iy[mask],
+            iz=iz_mapped[mask].astype(np.int32),
+            scale=term.scale[mask],
+            src_idx=term.src_idx[mask],
+            nsrc=term.nsrc,
+        )
+
+    core_z = iz - h
+    rim_z = np.where(in_lo, iz, h + (iz - h - g.nz))
+    core = pick(~in_rim, core_z)
+    zrim = pick(in_rim, rim_z)
+    return core, zrim
+
+
+def injection_propagation_cubes(grid: Grid3D, core_term: SourceTerm, m_val: float,
+                                dt: float):
+    """Per-source correction cubes for 2-step temporal fusion.
+
+    Injection is linear, so a deposit delta made into u_{n+1} contributes
+    A*delta to u_{n+2}, where A = one homogeneous leapfrog step with zero
+    previous level (A d = 2d + dt^2 Lap(d)/m). This computes A applied to
+    each source's 8-corner trilinear pattern on a tiny scratch grid and
+    returns [(slices_into_core, cube, src_index), ...]; cubes span
+    [floor-R, floor+R+2) per axis. Returns None if any cube would cross the
+    core interior bounds (caller falls back to unfused stepping).
+    """
+    from .oracle import oracle_step
+
+    if core_term.empty:
+        return []
+    R = grid.radius
+    side = 2 * R + 2  # corner pair (2) + R growth per side
+    mini = Grid3D(16, 16, 16, hx=grid.hx, hy=grid.hy, hz=grid.hz, order=grid.order)
+    h = mini.halo
+    ctr = h + 8 - 1  # a center cell with room
+    out = []
+    lay_core_dims = None
+    for p in range(core_term.nsrc):
+        sel = core_term.src_idx == p
+        if not np.any(sel):
+            continue
+        ix, iy, iz = core_term.ix[sel], core_term.iy[sel], core_term.iz[sel]
+        sc = core_term.scale[sel]
+        if sc.size == 0 or not np.any(sc != 0):
+            continue
+        fx, fy, fz = int(ix.min()), int(iy.min()), int(iz.min())
+        u = np.zeros(mini.padded_shape, np.float32)
+        for k in range(ix.shape[0]):
+            u[ctr + ix[k] - fx, ctr + iy[k] - fy, ctr + iz[k] - fz] += sc[k]
+        zero = np.zeros_like(u)
+        mfield = np.full(mini.padded_shape, np.float32(m_val), np.float32)
+        prop = oracle_step(u, zero, mfield, mini, dt)
+        lo = ctr - R
+        cube = prop[lo : lo + side, lo : lo + side, lo : lo + side]
+        sl = tuple(
+            slice(f - R, f - R + side) for f in (fx, fy, fz)
+        )
+        out.append((sl, np.asarray(cube, np.float32), p))
+    return out
+
+
+def cubes_fit_core(cubes, core_shape, px, py, nz) -> bool:
+    """All correction cubes must sit fully inside the interior of the core
+    arrays (x in [px, nx+px), y in [py, ny+py), z in [0, nz))."""
+    nxp, nyp, _ = core_shape
+    for sl, cube, _p in cubes:
+        (sx, sy, sz) = sl
+        if sx.start < px or sx.stop > nxp - px:
+            return False
+        if sy.start < py or sy.stop > nyp - py:
+            return False
+        if sz.start < 0 or sz.stop > nz:
+            return False
+    return True

@@ -10,10 +10,19 @@ buffers, which reproduces the reference's in-place %3 ring rotation
 Carry is (P, C, T) = (u_{n-1}, u_n, write-target buffer); each step writes
 T's interior and rotates to (C, u_new, P) — the exact dataflow of the
 reference's t0/t1/t2 = n%3 ring, including the per-ring-level frozen rims.
+
+Backends are encapsulated as engines that own their device-state
+representation:
+  * jnp        — reference-layout arrays, XLA-fused stencil (portable)
+  * pallas_v2  — alignment-padded Layout.tpu arrays, Element-window kernel
+  * pallas     — ZSplitLayout (core + z-rim side arrays) v3 kernel with the
+                 uniform-medium fast path; falls back to pallas_v2 when the
+                 grid shape doesn't satisfy its y-tiling requirement
 """
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -21,46 +30,365 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import Grid3D, SimConfig
-from .layout import Layout
+from .layout import Layout, ZSplitLayout
 from .ops import stencil_jnp
-from .sources import SourceTerm, build_source_term, inject
+from .sources import (
+    SourceTerm,
+    build_source_term,
+    cubes_fit_core,
+    inject,
+    injection_propagation_cubes,
+    split_source_term,
+)
 
-StepFn = Callable[..., jnp.ndarray]
+
+def _storage_dtype(cfg: SimConfig):
+    return jnp.bfloat16 if cfg.storage_dtype == "bfloat16" else jnp.float32
 
 
-def get_step_fn(grid: Grid3D, dt: float, backend: str, layout: Layout) -> StepFn:
-    """Resolve a backend name to step(u_cur, u_prev, m, target) -> u_next."""
-    if backend == "jnp":
-        return stencil_jnp.make_step(grid, dt, layout)
-    if backend == "pallas":
+class _ArrayEngine:
+    """Shared implementation for single-array-per-level engines."""
+
+    def __init__(self, grid: Grid3D, cfg: SimConfig, m_ref: np.ndarray, coords):
+        self.grid = grid
+        self.cfg = cfg
+        self.layout = self._make_layout(grid)
+        self.term = build_source_term(grid, coords, m_ref, layout=self.layout)
+        self.m = jnp.asarray(
+            self.layout.embed(np.asarray(m_ref, np.float32))
+        )
+        self.step_fn = self._make_step(grid, cfg)
+
+    def prepare_level(self, u_ref: np.ndarray):
+        return jnp.asarray(
+            self.layout.embed(np.asarray(u_ref)), dtype=_storage_dtype(self.cfg)
+        )
+
+    def extract_level(self, level) -> np.ndarray:
+        return self.layout.extract(np.asarray(level))
+
+    @property
+    def m_args(self):
+        # m crosses the jit boundary as an argument: closure-captured device
+        # arrays get baked into the HLO as constants (huge compile payloads)
+        return (self.m,)
+
+    def step(self, C, P, T, m_args):
+        return self.step_fn(C, P, m_args[0], T)
+
+    def inject(self, un, src_row):
+        return inject(un, self.term, src_row)
+
+    @property
+    def has_sources(self) -> bool:
+        return not self.term.empty
+
+
+class JnpEngine(_ArrayEngine):
+    def _make_layout(self, grid):
+        return Layout.reference(grid)
+
+    def _make_step(self, grid, cfg):
+        return stencil_jnp.make_step(grid, cfg.dt, self.layout)
+
+
+class PallasV2Engine(_ArrayEngine):
+    def _make_layout(self, grid):
+        return Layout.tpu(grid)
+
+    def _make_step(self, grid, cfg):
         from .ops import stencil_pallas
 
-        return stencil_pallas.make_step(grid, dt, layout)
-    raise ValueError(f"unknown backend {backend!r}; expected 'jnp' or 'pallas'")
+        return stencil_pallas.make_step(grid, cfg.dt, self.layout)
 
 
-def backend_layout(grid: Grid3D, backend: str) -> Layout:
-    """The pallas backend runs in the alignment-padded TPU layout; the jnp
-    backend keeps the reference layout."""
-    return Layout.tpu(grid) if backend == "pallas" else Layout.reference(grid)
+class ZSplitEngine:
+    """v3: levels are (core, zrim) pairs; uniform m becomes a kernel scalar."""
+
+    def __init__(self, grid: Grid3D, cfg: SimConfig, m_ref: np.ndarray, coords):
+        from .ops import stencil_pallas_z
+
+        self.grid = grid
+        self.cfg = cfg
+        self.lay = ZSplitLayout(grid)
+        m_ref = np.asarray(m_ref, np.float32)
+
+        uniform = cfg.assume_uniform_m
+        if uniform is None:
+            uniform = bool(np.all(m_ref == m_ref.flat[0]))
+        self.m_val = float(m_ref.flat[0]) if uniform else None
+
+        ref_term = build_source_term(grid, coords, m_ref)
+        self.core_term, self.zrim_term = split_source_term(ref_term, self.lay)
+
+        m_core, _ = self.lay.split(m_ref)
+        self.m_core = None if uniform else jnp.asarray(m_core)
+        self.step_fn = stencil_pallas_z.make_step(grid, cfg.dt, m_val=self.m_val)
+        # fast in-place ring: needs uniform m and no source deposits in rims
+        rim_sources = bool(np.any(self.zrim_term.scale != 0))
+        self.fast_capable = (
+            cfg.ring in ("auto", "fast")
+            and self.m_val is not None
+            and not rim_sources
+        )
+        # temporal fusion (K=2): needs the fast regime + correction cubes
+        # fully inside the core interior
+        self.t_fuse = 1
+        self.inj_cubes = []
+        self._z = stencil_pallas_z
+        self._interpret = jax.default_backend() != "tpu"
+        if self.fast_capable:
+            self._tile1 = stencil_pallas_z.choose_tiling(grid)
+            self._tile2 = stencil_pallas_z.choose_tiling_fused2(grid)
+        if self.fast_capable and cfg.t_fuse in (0, 2):
+            cubes = injection_propagation_cubes(
+                grid, self.core_term, self.m_val, cfg.dt
+            )
+            fits = cubes_fit_core(
+                cubes, self.lay.core_shape, self.lay.px, self.lay.py, grid.nz
+            )
+            if fits:
+                self.t_fuse = 2
+                self.inj_cubes = [
+                    (sl, jnp.asarray(cube), p) for sl, cube, p in cubes
+                ]
+            elif cfg.t_fuse == 2:
+                raise ValueError(
+                    "t_fuse=2 requires uniform m, identical rims and sources"
+                    " at least radius+2 cells inside the interior"
+                )
+
+    @property
+    def m_args(self):
+        return () if self.m_core is None else (self.m_core,)
+
+    def prepare_level(self, u_ref: np.ndarray):
+        dt = _storage_dtype(self.cfg)
+        core, zrim = self.lay.split(np.asarray(u_ref))
+        return (jnp.asarray(core, dtype=dt), jnp.asarray(zrim, dtype=dt))
+
+    def extract_level(self, level) -> np.ndarray:
+        core, zrim = level
+        return self.lay.join(np.asarray(core), np.asarray(zrim))
+
+    def step(self, C, P, T, m_args):
+        return self.step_fn(C, P, m_args[0] if m_args else None, T)
+
+    def inject(self, un, src_row):
+        core, zrim = un
+        core = inject(core, self.core_term, src_row)
+        zrim = inject(zrim, self.zrim_term, src_row)
+        return (core, zrim)
+
+    @property
+    def has_sources(self) -> bool:
+        return not (self.core_term.empty and self.zrim_term.empty)
+
+    # ---- fast 2-buffer in-place ring --------------------------------------
+
+    @staticmethod
+    def _rims_identical(arrs, h) -> bool:
+        a0 = arrs[0]
+        rims = lambda a: (
+            a[:h], a[-h:], a[:, :h], a[:, -h:], a[..., :h], a[..., -h:]
+        )
+        r0 = rims(a0)
+        return all(
+            all(np.array_equal(x, y) for x, y in zip(rims(a), r0))
+            for a in arrs[1:]
+        )
+
+    def prepare_state(self, u_prev, u_cur, u_target):
+        """Fast-mode state {"fast": (P_core, C_core, zrim)} when legal (all
+        level rims identical -> the shared zrim + untouched x/y rims make the
+        2-buffer ring bit-equivalent to the 3-buffer one), else the exact
+        3-level tuple."""
+        if self.fast_capable and self._rims_identical(
+            [u_prev, u_cur, u_target], self.grid.halo
+        ):
+            dt = _storage_dtype(self.cfg)
+            p_core, p_zrim = self.lay.split(np.asarray(u_prev))
+            c_core, _ = self.lay.split(np.asarray(u_cur))
+            if self.t_fuse == 2:
+                # U[4] = [spare1, spare2, prev, cur]; spare pads must carry
+                # the shared frozen rims, so seed them with the prev level
+                U = np.stack([p_core, p_core, p_core, c_core])
+            else:
+                U = np.stack([p_core, c_core])  # [prev, cur]
+            return {
+                "packed": (
+                    jnp.asarray(U, dtype=dt),
+                    jnp.asarray(p_zrim, dtype=dt),
+                )
+            }
+        if self.cfg.ring == "fast":
+            raise ValueError(
+                "ring='fast' requires identical rims across all ring levels"
+            )
+        return (
+            self.prepare_level(u_prev),
+            self.prepare_level(u_cur),
+            self.prepare_level(u_target),
+        )
+
+    def extract_state(self, state):
+        if isinstance(state, dict):
+            U, zr = state["packed"]
+            base = 2 if U.shape[0] == 4 else 0
+            zr = np.asarray(zr)
+            return (
+                self.lay.join(np.asarray(U[base]), zr),
+                self.lay.join(np.asarray(U[base + 1]), zr),
+            )
+        return tuple(self.extract_level(x) for x in state)
+
+    def _inject_lvl(self, U, lvl, src_row):
+        """Scatter one step's source amplitudes into level `lvl` of U."""
+        t = self.core_term
+        if t.empty:
+            return U
+        lv = np.full_like(t.ix, lvl)
+        vals = src_row[t.src_idx] * t.scale
+        return U.at[lv, t.ix, t.iy, t.iz].add(vals, mode="drop")
+
+    def _packed_single(self, U, zr, cur, base=0):
+        import functools
+
+        bx, by = self._tile1
+        return self._z.packed_step(
+            U, zr, grid=self.grid, dt=self.cfg.dt, bx=bx, by=by,
+            m_val=self.m_val, cur=cur, base=base, interpret=self._interpret,
+        )
+
+    def _packed_fused(self, U, zr, phase):
+        bx, by = self._tile2
+        return self._z.packed_fused2(
+            U, zr, grid=self.grid, dt=self.cfg.dt, bx=bx, by=by,
+            m_val=self.m_val, phase=phase, interpret=self._interpret,
+        )
+
+    def _run_packed(self, state, src_table, nsteps):
+        """Packed fast ring. All level-role bookkeeping is static; the state
+        always leaves in canonical arrangement ((prev, cur) at the top pair)
+        so consecutive calls compose."""
+        U0, zr = state["packed"]
+        have_src = src_table is not None and self.has_sources
+        L = U0.shape[0]
+
+        def src_at(t0, t1):
+            return src_table[t0:t1] if have_src else None
+
+        if L == 4 and self.t_fuse == 2 and nsteps >= 2:
+            nf, rem = nsteps // 2, nsteps % 2
+            nff, fodd = nf // 2, nf % 2
+
+            def fuse_once(U, phase, s2):
+                """One fused call + injections; s2 = [2, nsrc] or None."""
+                dst = 0 if phase == 0 else 2
+                U = self._packed_fused(U, zr, phase)
+                if s2 is not None:
+                    U = self._inject_lvl(U, dst, s2[0])
+                    U = self._inject_lvl(U, dst + 1, s2[1])
+                    for sl, cube, p in self.inj_cubes:
+                        U = U.at[(dst + 1,) + sl].add(s2[0][p] * cube)
+                return U
+
+            def quad(U, s4):
+                U = fuse_once(U, 0, s4[0] if s4 is not None else None)
+                U = fuse_once(U, 1, s4[1] if s4 is not None else None)
+                return U
+
+            U = U0
+            if nff:
+                if have_src:
+                    xs = src_table[: 4 * nff].reshape(nff, 2, 2, -1)
+                    U, _ = jax.lax.scan(
+                        lambda u, s4: (quad(u, s4), None), U, xs
+                    )
+                else:
+                    U, _ = jax.lax.scan(
+                        lambda u, _x: (quad(u, None), None), U, None, length=nff
+                    )
+            perm = [0, 1, 2, 3]
+            pair = 2  # canonical pair after even # of fused calls
+            if fodd:
+                s2 = (
+                    src_table[4 * nff : 4 * nff + 2] if have_src else None
+                )
+                U = fuse_once(U, 0, s2)
+                pair = 0
+            if rem:
+                U = self._packed_single(U, zr, cur=1, base=pair)
+                if have_src:
+                    U = self._inject_lvl(U, pair, src_table[nsteps - 1])
+                # cur moved to pair+0: swap within the pair
+                perm[pair], perm[pair + 1] = perm[pair + 1], perm[pair]
+            if pair == 0:
+                perm = perm[2:] + perm[:2]
+            if perm != [0, 1, 2, 3]:
+                U = U[jnp.asarray(perm)]
+            return {"packed": (U, zr)}
+
+        # single-step packed ring on the pair [base, base+2) = [0, 2)
+        npairs, rem = nsteps // 2, nsteps % 2
+
+        def two(U, s2):
+            U = self._packed_single(U, zr, cur=1)
+            if s2 is not None:
+                U = self._inject_lvl(U, 0, s2[0])
+            U = self._packed_single(U, zr, cur=0)
+            if s2 is not None:
+                U = self._inject_lvl(U, 1, s2[1])
+            return U
+
+        U = U0
+        if npairs:
+            if have_src:
+                xs = src_table[: 2 * npairs].reshape(npairs, 2, -1)
+                U, _ = jax.lax.scan(lambda u, s2: (two(u, s2), None), U, xs)
+            else:
+                U, _ = jax.lax.scan(
+                    lambda u, _x: (two(u, None), None), U, None, length=npairs
+                )
+        if rem:
+            U = self._packed_single(U, zr, cur=1)
+            if have_src:
+                U = self._inject_lvl(U, 0, src_table[nsteps - 1])
+            U = U[jnp.asarray([1, 0])]
+        return {"packed": (U, zr)}
+
+    def run_scan(self, state, m_args, src_table, nsteps):
+        if isinstance(state, dict):
+            return self._run_packed(state, src_table, nsteps)
+        return run_scan(state, m_args, src_table, engine=self, nsteps=nsteps)
 
 
-def run_scan(
-    state: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
-    m: jnp.ndarray,
-    src_table: Optional[jnp.ndarray],
-    *,
-    step_fn: StepFn,
-    term: SourceTerm,
-    nsteps: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Scan nsteps ring steps; returns (u_{N-1}, u_N, u_{N-2})."""
+def make_engine(
+    grid: Grid3D, cfg: SimConfig, m_ref: np.ndarray, coords=None
+):
+    if cfg.backend == "jnp":
+        return JnpEngine(grid, cfg, m_ref, coords)
+    if cfg.backend == "pallas_v2":
+        return PallasV2Engine(grid, cfg, m_ref, coords)
+    if cfg.backend == "pallas":
+        from .ops import stencil_pallas_z
 
-    if term.empty or src_table is None:
+        if stencil_pallas_z.supported(grid) and cfg.storage_dtype == "float32":
+            return ZSplitEngine(grid, cfg, m_ref, coords)
+        return PallasV2Engine(grid, cfg, m_ref, coords)
+    raise ValueError(
+        f"unknown backend {cfg.backend!r}; expected 'jnp', 'pallas' or 'pallas_v2'"
+    )
+
+
+def run_scan(state, m_args, src_table, *, engine, nsteps: int):
+    """Scan nsteps ring steps; returns (u_{N-1}, u_N, u_{N-2}) levels."""
+
+    if src_table is None or not engine.has_sources:
 
         def body(carry, _):
             P, C, T = carry
-            un = step_fn(C, P, m, T)
+            un = engine.step(C, P, T, m_args)
             return (C, un, P), None
 
         carry, _ = jax.lax.scan(body, state, None, length=nsteps)
@@ -68,8 +396,8 @@ def run_scan(
 
         def body(carry, src_row):
             P, C, T = carry
-            un = step_fn(C, P, m, T)
-            un = inject(un, term, src_row)
+            un = engine.step(C, P, T, m_args)
+            un = engine.inject(un, src_row)
             return (C, un, P), None
 
         carry, _ = jax.lax.scan(body, state, src_table)
@@ -80,8 +408,7 @@ class Simulator:
     """Compiled simulation for one (grid, config, source-layout) combination.
 
     Host-facing arrays (ICs, medium, results) use the reference layout
-    [n+2H]^3 (main.cpp:360-363); internally the pallas backend runs in the
-    alignment-padded TPU layout and this class embeds/extracts at the edges.
+    [n+2H]^3 (main.cpp:360-363); the engine owns the device representation.
     """
 
     def __init__(
@@ -93,31 +420,22 @@ class Simulator:
     ):
         self.grid = grid
         self.cfg = cfg
-        self.layout = backend_layout(grid, cfg.backend)
-        self.term = build_source_term(grid, src_coords, m, layout=self.layout)
-        self.step_fn = get_step_fn(grid, cfg.dt, cfg.backend, self.layout)
-        self.m = jnp.asarray(self.layout.embed(np.asarray(m, np.float32)))
+        self.engine = make_engine(grid, cfg, m, src_coords)
 
-        # m is an explicit argument (NOT a closure capture: captured device
-        # arrays are baked into the HLO as constants, bloating the program).
-        def _run(state, m, src_table, nsteps):
+        def _run(state, m_args, src_table, nsteps):
+            if hasattr(self.engine, "run_scan"):
+                return self.engine.run_scan(state, m_args, src_table, nsteps)
             return run_scan(
-                state,
-                m,
-                src_table,
-                step_fn=self.step_fn,
-                term=self.term,
-                nsteps=nsteps,
+                state, m_args, src_table, engine=self.engine, nsteps=nsteps
             )
 
         # One compiled program per nsteps value (warmup / main), cached by jit.
-        self._jit_run = jax.jit(_run, static_argnames=("nsteps",), donate_argnums=(0,))
-        self._run = lambda state, src_table, nsteps: self._jit_run(
-            state, self.m, src_table, nsteps
+        self._jit_run = jax.jit(
+            _run, static_argnames=("nsteps",), donate_argnums=(0,)
         )
-
-    def storage_dtype(self):
-        return jnp.bfloat16 if self.cfg.storage_dtype == "bfloat16" else jnp.float32
+        self._run = lambda state, src_table, nsteps: self._jit_run(
+            state, self.engine.m_args, src_table, nsteps
+        )
 
     def prepare_state(
         self,
@@ -125,25 +443,27 @@ class Simulator:
         u_cur: np.ndarray,
         u_target: Optional[np.ndarray] = None,
     ):
-        """Device-resident ring state (P, C, T) in the backend layout; inputs
-        are reference-layout host arrays. T defaults to a copy of C, which
-        reproduces both reference IC setups (see oracle_run_ring)."""
-        dt = self.storage_dtype()
-        emb = self.layout.embed
+        """Device-resident ring state (P, C, T); T defaults to a copy of C,
+        which reproduces both reference IC setups (see oracle_run_ring)."""
+        e = self.engine
+        ut = np.asarray(u_cur if u_target is None else u_target)
+        if hasattr(e, "prepare_state"):
+            return e.prepare_state(np.asarray(u_prev), np.asarray(u_cur), ut)
         return (
-            jnp.asarray(emb(np.asarray(u_prev)), dtype=dt),
-            jnp.asarray(emb(np.asarray(u_cur)), dtype=dt),
-            jnp.asarray(
-                emb(np.asarray(u_cur if u_target is None else u_target)), dtype=dt
-            ),
+            e.prepare_level(np.asarray(u_prev)),
+            e.prepare_level(np.asarray(u_cur)),
+            e.prepare_level(ut),
         )
 
-    def extract_state(self, state) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Back to host reference-layout arrays (u_{N-1}, u_N, u_{N-2})."""
-        return tuple(self.layout.extract(np.asarray(x)) for x in state)
+    def extract_state(self, state):
+        """Back to host reference-layout arrays: (u_{N-1}, u_N, u_{N-2}) in
+        the exact ring, (u_{N-1}, u_N) in the fast 2-buffer ring."""
+        if hasattr(self.engine, "extract_state"):
+            return self.engine.extract_state(state)
+        return tuple(self.engine.extract_level(x) for x in state)
 
     def _src_slice(self, src: Optional[np.ndarray], t0: int, t1: int):
-        if src is None or self.term.empty:
+        if src is None or not self.engine.has_sources:
             return None
         return jnp.asarray(src[t0:t1], dtype=jnp.float32)
 
@@ -154,13 +474,25 @@ class Simulator:
             return state
         return self._run(state, self._src_slice(src, 0, n), n)
 
+    @staticmethod
+    def _sync(state) -> None:
+        """Force completion of all pending work on `state`.
+
+        jax.block_until_ready alone is NOT a reliable completion fence on the
+        tunneled device used here (observed returning before execution); a
+        data-dependent scalar readback is.
+        """
+        jax.block_until_ready(state)
+        leaf = jax.tree_util.tree_leaves(state)[0]
+        np.asarray(leaf[(0,) * leaf.ndim])
+
     def run_timed(self, state, src: Optional[np.ndarray] = None):
         """Warmup + timed split; returns (state, seconds_timed).
 
         Warmup runs the first `cfg.warmup_steps` physics steps untimed; the
-        wall clock brackets only the remaining steps, with block_until_ready
-        fencing both sides (the TPU analogue of cudaEvents around the timed
-        loop, cuda_optimized.cu:430-464).
+        wall clock brackets only the remaining steps, with completion fences
+        on both sides (the TPU analogue of cudaEvents around the timed loop,
+        cuda_optimized.cu:430-464).
         """
         import time
 
@@ -168,11 +500,11 @@ class Simulator:
         rest = self.cfg.nsteps - w
         if w:
             state = self._run(state, self._src_slice(src, 0, w), w)
-        jax.block_until_ready(state)
+        self._sync(state)
         t0 = time.perf_counter()
         if rest:
             state = self._run(state, self._src_slice(src, w, self.cfg.nsteps), rest)
-        jax.block_until_ready(state)
+        self._sync(state)
         elapsed = time.perf_counter() - t0
         return state, elapsed
 
@@ -188,6 +520,10 @@ def simulate_ring(
     u_target: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One-shot run; returns host-side ring state (u_{N-1}, u_N, u_{N-2})."""
+    import dataclasses as _dc
+
+    if cfg.ring == "auto":
+        cfg = _dc.replace(cfg, ring="exact")
     sim = Simulator(grid, cfg, m, src_coords)
     state = sim.prepare_state(u_prev, u_cur, u_target)
     state = sim.run(state, src, cfg.nsteps)
@@ -206,3 +542,15 @@ def simulate(
     """One-shot convenience wrapper; returns host-side (u_{N-1}, u_N)."""
     P, C, _ = simulate_ring(u_prev, u_cur, m, grid, cfg, src, src_coords)
     return P, C
+
+
+def get_step_fn(grid: Grid3D, dt: float, backend: str, layout=None):
+    """Back-compat helper: step(u_cur, u_prev, m, target) for single-array
+    backends (used by the sharded path and tests)."""
+    if backend == "jnp":
+        return stencil_jnp.make_step(grid, dt, layout)
+    if backend in ("pallas", "pallas_v2"):
+        from .ops import stencil_pallas
+
+        return stencil_pallas.make_step(grid, dt, layout)
+    raise ValueError(backend)
