@@ -156,3 +156,29 @@ def test_fast_ring_auto_falls_back_on_mixed_rims(small_grid):
     sim = tf.Simulator(small_grid, cfg, m)
     st = sim.prepare_state(up0, uc0)
     assert not isinstance(st, dict)  # exact 3-level state
+
+
+def test_fused_multi_span_odd_warmup():
+    """Two consecutive run() spans with an odd first span (the warmup/timed
+    split of the benchmark): arrangement bookkeeping across spans must hold
+    for any span parity combination."""
+    g = tf.Grid3D(16, 16, 16, hx=1.0, hy=1.0, hz=1.0)
+    shape = g.padded_shape
+    m = np.full(shape, 1.5, np.float32)
+    u0 = np.zeros(shape, np.float32)
+    nsteps = 12
+    src = tf.ricker_table(nsteps, 1, 0.001)
+    coords = tf.default_source_coords(1, g.nx, g.ny, g.nz, h=1.0)
+    ring_t = tf.oracle_run_ring(u0, u0, m, g, 0.001, nsteps, src=src,
+                                src_coords=coords, dtype=np.float64)
+    for w in (1, 2, 3, 5):
+        cfg = tf.SimConfig(dt=0.001, nsteps=nsteps, backend="pallas",
+                           ring="fast", t_fuse=2)
+        sim = tf.Simulator(g, cfg, m, coords)
+        assert sim.engine.t_fuse == 2
+        st = sim.prepare_state(u0, u0)
+        st = sim.run(st, src[:w], w)
+        st = sim.run(st, src[w:], nsteps - w)
+        P, C = sim.extract_state(st)
+        assert rel_l2(C, ring_t[1]) < 1e-4, w
+        assert rel_l2(P, ring_t[0]) < 1e-4, w

@@ -22,5 +22,6 @@ from .stepper import (  # noqa: F401
     get_step_fn,
 )
 from .wavelets import ricker, ricker_table, default_source_coords  # noqa: F401
+from . import checkpoint, compat  # noqa: F401
 
 __version__ = "0.1.0"

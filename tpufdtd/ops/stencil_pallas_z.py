@@ -259,136 +259,6 @@ def make_step(
     return step
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("grid", "dt", "bx", "by", "m_val", "interpret", "vmem_limit"),
-)
-def leapfrog_step_inplace(
-    c_core: jnp.ndarray,
-    c_zrim: jnp.ndarray,
-    p_core: jnp.ndarray,
-    m_core: Optional[jnp.ndarray] = None,
-    *,
-    grid: Grid3D,
-    dt: float,
-    bx: int,
-    by: int,
-    m_val: Optional[float] = None,
-    interpret: bool = False,
-    vmem_limit: int = 110 * 1024 * 1024,
-) -> jnp.ndarray:
-    """Two-buffer in-place step: u_next overwrites p_core's donated buffer
-    (u_new = 2u - u_prev + ... reads p only at the block it rewrites, so the
-    in-place alias is race-free). Measured ~20% faster than the 3-buffer
-    ring on the target chip, where same-buffer read+write DMA patterns beat
-    cross-buffer writes.
-
-    Valid whenever all ring levels share identical rims (zero-IC perf runs;
-    rims never change because z rims live in the side array and x/y rims are
-    never written). The 3-buffer ring (leapfrog_step_zsplit) remains the
-    exact-parity path for the reference's mixed-rim correctness IC.
-    """
-    lay = ZSplitLayout(grid)
-    py, px = lay.py, lay.px
-    R, h = grid.radius, grid.halo
-    nz = grid.nz
-
-    assert grid.nx % bx == 0 and grid.ny % by == 0 and by % 8 == 0
-    gx, gy = grid.nx // bx, grid.ny // by
-    mo = pl.multiple_of
-
-    win_spec = pl.BlockSpec(
-        (pl.Element(bx + 2 * R), pl.Element(by + 2 * py), pl.Element(nz)),
-        lambda i, j: (px + i * bx - R, mo(j * by, 8), 0),
-        memory_space=pltpu.VMEM,
-    )
-    core_spec = pl.BlockSpec(
-        (pl.Element(bx), pl.Element(by), pl.Element(nz)),
-        lambda i, j: (px + i * bx, mo(py + j * by, 8), 0),
-        memory_space=pltpu.VMEM,
-    )
-    zrim_spec = pl.BlockSpec(
-        (pl.Element(bx), pl.Element(by), pl.Element(2 * h)),
-        lambda i, j: (px + i * bx, mo(py + j * by, 8), 0),
-        memory_space=pltpu.VMEM,
-    )
-
-    def kern2(uc_ref, zr_ref, up_ref, *rest):
-        _kernel(
-            uc_ref,
-            zr_ref,
-            up_ref,
-            *rest[:-1],
-            None,
-            rest[-1],
-            bx=bx,
-            by=by,
-            py=py,
-            grid=grid,
-            dt=dt,
-            m_val=m_val,
-        )
-
-    inputs = [c_core, c_zrim, p_core]
-    in_specs = [win_spec, zrim_spec, core_spec]
-    if m_val is None:
-        assert m_core is not None
-        inputs.append(m_core)
-        in_specs.append(core_spec)
-    alias_idx = 2  # p_core
-
-    flops_per_pt = 3 * (grid.order + 1) * 2 + 6
-    bytes_pt = 12 if m_val is not None else 16
-    cost = pl.CostEstimate(
-        flops=flops_per_pt * grid.interior_cells,
-        bytes_accessed=bytes_pt * grid.interior_cells,
-        transcendentals=0,
-    )
-
-    return pl.pallas_call(
-        kern2,
-        grid=(gx, gy),
-        in_specs=in_specs,
-        out_specs=core_spec,
-        out_shape=jax.ShapeDtypeStruct(p_core.shape, p_core.dtype),
-        input_output_aliases={alias_idx: 0},
-        cost_estimate=cost,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=vmem_limit,
-        ),
-        interpret=interpret,
-    )(*inputs)
-
-
-def make_step_inplace(
-    grid: Grid3D,
-    dt: float,
-    m_val: Optional[float] = None,
-    vmem_budget_bytes: int = DEFAULT_VMEM_BUDGET,
-):
-    """step(C_core, P_core, m_core, zrim) -> u_next core (in P's buffer)."""
-    bx, by = choose_tiling(grid, uniform_m=m_val is not None,
-                           vmem_budget_bytes=vmem_budget_bytes)
-    interpret = jax.default_backend() != "tpu"
-
-    def step(c_core, p_core, m_core, zrim):
-        return leapfrog_step_inplace(
-            c_core,
-            c_zrim=zrim,
-            p_core=p_core,
-            m_core=None if m_val is not None else m_core,
-            grid=grid,
-            dt=dt,
-            bx=bx,
-            by=by,
-            m_val=m_val,
-            interpret=interpret,
-        )
-
-    return step
-
-
 # ---------------------------------------------------------------------------
 # Temporal fusion: K=2 leapfrog steps per HBM pass.
 #
@@ -415,191 +285,6 @@ def make_step_inplace(
 # ---------------------------------------------------------------------------
 
 
-def _fused2_kernel(
-    uc_ref, zr_ref, up_ref, _s1_ref, _s2_ref, out1_ref, out2_ref, u1_ref,
-    *, bx, by, py, grid, dt, m_val
-):
-    R = grid.radius
-    h = grid.halo
-    nz = grid.nz
-    W = stencil_weights(grid.order)
-    dt32 = np.float32(dt)
-    hx, hy, hz = np.float32(grid.hx), np.float32(grid.hy), np.float32(grid.hz)
-    r2 = np.float32(1.0) / (hx * hx)
-    r3 = np.float32(1.0) / (hy * hy)
-    r4 = np.float32(1.0) / (hz * hz)
-    r1 = np.float32(1.0) / (dt32 * dt32)
-    m = np.float32(m_val)
-
-    uc = uc_ref[...]  # (bx+4R, by+2py, nz)
-    zr = zr_ref[...]  # (bx+2R, by+2py, 2h)
-    up = up_ref[...]  # (bx+2R, by+2py, nz)
-
-    def leap(cur, prev, zrim, cx, cy, ex, ey):
-        """One leapfrog update on a region of x-size ex, y-size ey whose
-        origin sits at (cx, cy) inside `cur`; zrim's region origin is
-        (cx - R?, ...) -- callers pass zrim pre-sliced to the SAME region."""
-        c = cur[cx : cx + ex, cy : cy + ey, :]
-        r5 = W[0] * c
-        tx, ty, tz = r5, r5, r5
-        for d in range(R, 0, -1):
-            tx = tx + W[d] * (
-                cur[cx - d : cx - d + ex, cy : cy + ey, :]
-                + cur[cx + d : cx + d + ex, cy : cy + ey, :]
-            )
-            ty = ty + W[d] * (
-                cur[cx : cx + ex, cy - d : cy - d + ey, :]
-                + cur[cx : cx + ex, cy + d : cy + d + ey, :]
-            )
-            zp = jnp.concatenate([c[:, :, d:], zrim[:, :, h : h + d]], axis=2)
-            zm = jnp.concatenate([zrim[:, :, h - d : h], c[:, :, : nz - d]], axis=2)
-            tz = tz + W[d] * (zp + zm)
-        return (
-            dt32
-            * dt32
-            * (r2 * tx + r3 * ty + r4 * tz - (np.float32(-2.0) * r1 * c + r1 * prev) * m)
-            / m
-        ), c
-
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-
-    # ---- stage 1: u_{n+1} on the R-extended region E1 ----------------------
-    ex, ey = bx + 2 * R, by + 2 * R
-    zrE = zr[:, py - R : py - R + ey, :]
-    upE = up[:, py - R : py - R + ey, :]
-    upd1, cE = leap(uc, upE, zrE, R, py - R, ex, ey)
-    # freeze positions outside the global interior (edge tiles only)
-    gx0 = i * bx - R
-    gy0 = j * by - R
-    xi = jax.lax.broadcasted_iota(jnp.int32, (ex, 1, 1), 0) + gx0
-    yi = jax.lax.broadcasted_iota(jnp.int32, (1, ey, 1), 1) + gy0
-    mask = (xi >= 0) & (xi < grid.nx) & (yi >= 0) & (yi < grid.ny)
-    # u1 is staged through a scratch ref WITH its frozen z rim embedded in
-    # the lane dim ([zrim_lo | u1 | zrim_hi]), so stage 2's z neighbors are
-    # plain slices — Mosaic cannot concat values with mismatched layout
-    # offsets, and the round-trip normalizes the vector layout.
-    u1_ref[:, :, h : h + nz] = jnp.where(mask, upd1, cE)
-    u1_ref[:, :, 0:h] = zrE[:, :, 0:h]
-    u1_ref[:, :, h + nz :] = zrE[:, :, h:]
-
-    # ---- stage 2: u_{n+2} on the core --------------------------------------
-    u1z = u1_ref[...]  # (bx+2R, by+2R, nz+2h)
-    upC = uc[2 * R : 2 * R + bx, py : py + by, :]  # u_n at the core
-
-    c2 = u1z[R : R + bx, R : R + by, h : h + nz]
-    r5 = W[0] * c2
-    tx, ty, tz = r5, r5, r5
-    for d in range(R, 0, -1):
-        tx = tx + W[d] * (
-            u1z[R - d : R - d + bx, R : R + by, h : h + nz]
-            + u1z[R + d : R + d + bx, R : R + by, h : h + nz]
-        )
-        ty = ty + W[d] * (
-            u1z[R : R + bx, R - d : R - d + by, h : h + nz]
-            + u1z[R : R + bx, R + d : R + d + by, h : h + nz]
-        )
-        tz = tz + W[d] * (
-            u1z[R : R + bx, R : R + by, h - d : h - d + nz]
-            + u1z[R : R + bx, R : R + by, h + d : h + d + nz]
-        )
-    upd2 = (
-        dt32
-        * dt32
-        * (r2 * tx + r3 * ty + r4 * tz
-           - (np.float32(-2.0) * r1 * c2 + r1 * upC) * m)
-        / m
-    )
-
-    out1_ref[...] = u1z[R : R + bx, R : R + by, h : h + nz]
-    out2_ref[...] = upd2
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("grid", "dt", "bx", "by", "m_val", "interpret", "vmem_limit"),
-)
-def leapfrog_fused2(
-    c_core: jnp.ndarray,
-    c_zrim: jnp.ndarray,
-    p_core: jnp.ndarray,
-    s1_core: jnp.ndarray,
-    s2_core: jnp.ndarray,
-    *,
-    grid: Grid3D,
-    dt: float,
-    bx: int,
-    by: int,
-    m_val: float,
-    interpret: bool = False,
-    vmem_limit: int = 120 * 1024 * 1024,
-):
-    """Two fused steps; returns (u_{n+1}, u_{n+2}) in the donated spare
-    buffers s1/s2 (which are never read: no aliasing hazard)."""
-    lay = ZSplitLayout(grid)
-    py, px = lay.py, lay.px
-    R = grid.radius
-    nz = grid.nz
-    assert 2 * R <= px and 2 * R <= py
-    assert grid.nx % bx == 0 and grid.ny % by == 0 and by % 8 == 0
-    gx, gy = grid.nx // bx, grid.ny // by
-    mo = pl.multiple_of
-
-    uc_spec = pl.BlockSpec(
-        (pl.Element(bx + 4 * R), pl.Element(by + 2 * py), pl.Element(nz)),
-        lambda i, j: (px + i * bx - 2 * R, mo(j * by, 8), 0),
-        memory_space=pltpu.VMEM,
-    )
-    up_spec = pl.BlockSpec(
-        (pl.Element(bx + 2 * R), pl.Element(by + 2 * py), pl.Element(nz)),
-        lambda i, j: (px + i * bx - R, mo(j * by, 8), 0),
-        memory_space=pltpu.VMEM,
-    )
-    zr_spec = pl.BlockSpec(
-        (pl.Element(bx + 2 * R), pl.Element(by + 2 * py), pl.Element(2 * grid.halo)),
-        lambda i, j: (px + i * bx - R, mo(j * by, 8), 0),
-        memory_space=pltpu.VMEM,
-    )
-    core_spec = pl.BlockSpec(
-        (pl.Element(bx), pl.Element(by), pl.Element(nz)),
-        lambda i, j: (px + i * bx, mo(py + j * by, 8), 0),
-        memory_space=pltpu.VMEM,
-    )
-
-    kern = functools.partial(
-        _fused2_kernel, bx=bx, by=by, py=py, grid=grid, dt=dt, m_val=m_val
-    )
-    flops_per_pt = 2 * (3 * (grid.order + 1) * 2 + 6)
-    cost = pl.CostEstimate(
-        flops=flops_per_pt * grid.interior_cells,
-        bytes_accessed=16 * grid.interior_cells,
-        transcendentals=0,
-    )
-
-    return pl.pallas_call(
-        kern,
-        grid=(gx, gy),
-        in_specs=[uc_spec, zr_spec, up_spec,
-                  pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=(core_spec, core_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct(s1_core.shape, s1_core.dtype),
-            jax.ShapeDtypeStruct(s2_core.shape, s2_core.dtype),
-        ),
-        input_output_aliases={3: 0, 4: 1},
-        scratch_shapes=[
-            pltpu.VMEM((bx + 2 * R, by + 2 * R, nz + 2 * grid.halo), jnp.float32)
-        ],
-        cost_estimate=cost,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=vmem_limit,
-        ),
-        interpret=interpret,
-    )(c_core, c_zrim, p_core, s1_core, s2_core)
-
-
 def choose_tiling_fused2(
     grid: Grid3D, py: int = 8, vmem_budget_bytes: int = 100 * 1024 * 1024
 ) -> Tuple[int, int]:
@@ -621,33 +306,6 @@ def choose_tiling_fused2(
             if score > best_score:
                 best_score, best = score, (bx, by)
     return best if best is not None else (8, 8)
-
-
-def make_fused2_step(
-    grid: Grid3D,
-    dt: float,
-    m_val: float,
-    vmem_budget_bytes: int = 100 * 1024 * 1024,
-):
-    bx, by = choose_tiling_fused2(grid, vmem_budget_bytes=vmem_budget_bytes)
-    interpret = jax.default_backend() != "tpu"
-
-    def step(c_core, p_core, s1_core, s2_core, zrim):
-        return leapfrog_fused2(
-            c_core,
-            zrim,
-            p_core,
-            s1_core,
-            s2_core,
-            grid=grid,
-            dt=dt,
-            bx=bx,
-            by=by,
-            m_val=m_val,
-            interpret=interpret,
-        )
-
-    return step
 
 
 # ---------------------------------------------------------------------------
@@ -809,21 +467,22 @@ def packed_step(
 
 
 def _packed_fused_kernel(u_ref, zr_ref, out_ref, u1_ref, *, bx, by, py, grid,
-                         dt, m_val, src_lvl):
-    """Two fused steps: read levels (src_lvl, src_lvl+1) = (prev, cur),
+                         dt, m_val, prev_first):
+    """Two fused steps: read the source level pair (order per prev_first),
     write (u_{n+1}, u_{n+2}) into the two output levels."""
     R = grid.radius
     h = grid.halo
     nz = grid.nz
     leap = _leap_math(grid, dt, m_val)
-    U = u_ref[...]  # (2, bx+4R, by+2py, nz): [prev, cur] at window extent
+    U = u_ref[...]  # (2, bx+4R, by+2py, nz): source pair at window extent
     zr = zr_ref[...]  # (bx+2R, by+2py, 2h)
 
-    curW = U[1]
+    curW = U[1] if prev_first else U[0]
     # stage 1: u_{n+1} on the R-extended region E1
     ex, ey = bx + 2 * R, by + 2 * R
     zrE = zr[:, py - R : py - R + ey, :]
-    prevE = U[0, R : R + ex, py - R : py - R + ey, :]
+    prev_idx = 0 if prev_first else 1
+    prevE = U[prev_idx, R : R + ex, py - R : py - R + ey, :]
     upd1, cE = leap(curW, prevE, zrE, R, py - R, ex, ey)
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -874,8 +533,8 @@ def _packed_fused_kernel(u_ref, zr_ref, out_ref, u1_ref, *, bx, by, py, grid,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid", "dt", "bx", "by", "m_val", "phase", "interpret",
-                     "vmem_limit"),
+    static_argnames=("grid", "dt", "bx", "by", "m_val", "src_pair",
+                     "prev_first", "interpret", "vmem_limit"),
 )
 def packed_fused2(
     U: jnp.ndarray,
@@ -886,17 +545,19 @@ def packed_fused2(
     bx: int,
     by: int,
     m_val: float,
-    phase: int,  # 0: read levels (2,3), write (0,1); 1: mirrored
+    src_pair: int = 2,  # level pair holding (prev, cur)
+    prev_first: bool = True,  # order within the source pair
     interpret: bool = False,
     vmem_limit: int = 120 * 1024 * 1024,
 ):
-    """Two fused in-place steps on packed U[4,...]."""
+    """Two fused in-place steps on packed U[4,...]: reads the source pair,
+    writes (u_{n+1}, u_{n+2}) prev-first into the other pair."""
     lay = ZSplitLayout(grid)
     py, px = lay.py, lay.px
     R = grid.radius
     nz = grid.nz
-    src_lvl = 2 if phase == 0 else 0
-    dst_lvl = 0 if phase == 0 else 2
+    src_lvl = src_pair
+    dst_lvl = 2 - src_pair
     assert 2 * R <= px and 2 * R <= py
     assert grid.nx % bx == 0 and grid.ny % by == 0 and by % 8 == 0
     gx, gy = grid.nx // bx, grid.ny // by
@@ -920,7 +581,7 @@ def packed_fused2(
     )
     kern = functools.partial(
         _packed_fused_kernel, bx=bx, by=by, py=py, grid=grid, dt=dt,
-        m_val=m_val, src_lvl=src_lvl,
+        m_val=m_val, prev_first=prev_first,
     )
     flops_per_pt = 2 * (3 * (grid.order + 1) * 2 + 6)
     cost = pl.CostEstimate(

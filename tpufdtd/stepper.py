@@ -213,10 +213,12 @@ class ZSplitEngine:
                 # U[4] = [spare1, spare2, prev, cur]; spare pads must carry
                 # the shared frozen rims, so seed them with the prev level
                 U = np.stack([p_core, p_core, p_core, c_core])
+                key = "packed4_2_1"  # pair at levels (2,3), cur = pair+1
             else:
                 U = np.stack([p_core, c_core])  # [prev, cur]
+                key = "packed2_0_1"
             return {
-                "packed": (
+                key: (
                     jnp.asarray(U, dtype=dt),
                     jnp.asarray(p_zrim, dtype=dt),
                 )
@@ -233,12 +235,14 @@ class ZSplitEngine:
 
     def extract_state(self, state):
         if isinstance(state, dict):
-            U, zr = state["packed"]
-            base = 2 if U.shape[0] == 4 else 0
+            key = next(iter(state))
+            U, zr = state[key]
+            _, pair, cur = key.split("_")
+            pair, cur = int(pair), int(cur)
             zr = np.asarray(zr)
             return (
-                self.lay.join(np.asarray(U[base]), zr),
-                self.lay.join(np.asarray(U[base + 1]), zr),
+                self.lay.join(np.asarray(U[pair + 1 - cur]), zr),
+                self.lay.join(np.asarray(U[pair + cur]), zr),
             )
         return tuple(self.extract_level(x) for x in state)
 
@@ -260,88 +264,96 @@ class ZSplitEngine:
             m_val=self.m_val, cur=cur, base=base, interpret=self._interpret,
         )
 
-    def _packed_fused(self, U, zr, phase):
+    def _fuse_once_arr(self, U, zr, pair, cur, s2):
+        """One fused call reading the (pair, cur) arrangement; writes the
+        other pair in canonical (prev-first) order, plus source terms."""
         bx, by = self._tile2
-        return self._z.packed_fused2(
+        dst = 2 - pair
+        U = self._z.packed_fused2(
             U, zr, grid=self.grid, dt=self.cfg.dt, bx=bx, by=by,
-            m_val=self.m_val, phase=phase, interpret=self._interpret,
+            m_val=self.m_val, src_pair=pair, prev_first=(cur == 1),
+            interpret=self._interpret,
         )
+        if s2 is not None:
+            U = self._inject_lvl(U, dst, s2[0])
+            U = self._inject_lvl(U, dst + 1, s2[1])
+            for sl, cube, p in self.inj_cubes:
+                U = U.at[(dst + 1,) + sl].add(s2[0][p] * cube)
+        return U
 
     def _run_packed(self, state, src_table, nsteps):
-        """Packed fast ring. All level-role bookkeeping is static; the state
-        always leaves in canonical arrangement ((prev, cur) at the top pair)
-        so consecutive calls compose."""
-        U0, zr = state["packed"]
+        """Packed fast ring. Level roles are tracked in the state-dict key
+        "packed{L}_{pair}_{cur}" (cur level = pair+cur), so arrangement
+        changes are pure static bookkeeping — no data movement ever."""
+        key = next(iter(state))
+        U, zr = state[key]
+        _, pair, cur = key.split("_")
+        pair, cur = int(pair), int(cur)
         have_src = src_table is not None and self.has_sources
-        L = U0.shape[0]
+        L = U.shape[0]
 
-        def src_at(t0, t1):
-            return src_table[t0:t1] if have_src else None
+        def single(U, pair, cur, src_row):
+            """One in-place step on the (pair, cur) pair; cur flips."""
+            U = self._packed_single(U, zr, cur=cur, base=pair)
+            if src_row is not None:
+                U = self._inject_lvl(U, pair + 1 - cur, src_row)
+            return U, 1 - cur
 
         if L == 4 and self.t_fuse == 2 and nsteps >= 2:
             nf, rem = nsteps // 2, nsteps % 2
+            done = 0
+            if cur != 1 and nf >= 1:
+                # normalize: one leading fused call restores canonical
+                # within-pair order so the scan body below is uniform
+                s2 = src_table[0:2] if have_src else None
+                U = self._fuse_once_arr(U, zr, pair, cur, s2)
+                pair, cur = 2 - pair, 1
+                nf -= 1
+                done = 2
+
+            # after one fused call the arrangement is always (2-pair, cur=1),
+            # so pairs of fused calls return to the starting pair: scan them.
             nff, fodd = nf // 2, nf % 2
 
-            def fuse_once(U, phase, s2):
-                """One fused call + injections; s2 = [2, nsrc] or None."""
-                dst = 0 if phase == 0 else 2
-                U = self._packed_fused(U, zr, phase)
-                if s2 is not None:
-                    U = self._inject_lvl(U, dst, s2[0])
-                    U = self._inject_lvl(U, dst + 1, s2[1])
-                    for sl, cube, p in self.inj_cubes:
-                        U = U.at[(dst + 1,) + sl].add(s2[0][p] * cube)
-                return U
-
             def quad(U, s4):
-                U = fuse_once(U, 0, s4[0] if s4 is not None else None)
-                U = fuse_once(U, 1, s4[1] if s4 is not None else None)
+                U = self._fuse_once_arr(
+                    U, zr, pair, 1, s4[0] if s4 is not None else None
+                )
+                U = self._fuse_once_arr(
+                    U, zr, 2 - pair, 1, s4[1] if s4 is not None else None
+                )
                 return U
 
-            U = U0
             if nff:
                 if have_src:
-                    xs = src_table[: 4 * nff].reshape(nff, 2, 2, -1)
-                    U, _ = jax.lax.scan(
-                        lambda u, s4: (quad(u, s4), None), U, xs
-                    )
+                    xs = src_table[done : done + 4 * nff].reshape(nff, 2, 2, -1)
+                    U, _ = jax.lax.scan(lambda u, s4: (quad(u, s4), None), U, xs)
                 else:
                     U, _ = jax.lax.scan(
                         lambda u, _x: (quad(u, None), None), U, None, length=nff
                     )
-            perm = [0, 1, 2, 3]
-            pair = 2  # canonical pair after even # of fused calls
+                cur = 1
+                done += 4 * nff
             if fodd:
-                s2 = (
-                    src_table[4 * nff : 4 * nff + 2] if have_src else None
-                )
-                U = fuse_once(U, 0, s2)
-                pair = 0
+                s2 = src_table[done : done + 2] if have_src else None
+                U = self._fuse_once_arr(U, zr, pair, cur, s2)
+                pair, cur = 2 - pair, 1
+                done += 2
             if rem:
-                U = self._packed_single(U, zr, cur=1, base=pair)
-                if have_src:
-                    U = self._inject_lvl(U, pair, src_table[nsteps - 1])
-                # cur moved to pair+0: swap within the pair
-                perm[pair], perm[pair + 1] = perm[pair + 1], perm[pair]
-            if pair == 0:
-                perm = perm[2:] + perm[:2]
-            if perm != [0, 1, 2, 3]:
-                U = U[jnp.asarray(perm)]
-            return {"packed": (U, zr)}
+                U, cur = single(
+                    U, pair, cur,
+                    src_table[nsteps - 1] if have_src else None,
+                )
+            return {f"packed4_{pair}_{cur}": (U, zr)}
 
-        # single-step packed ring on the pair [base, base+2) = [0, 2)
+        # single-step packed ring; cur alternates, scan whole pairs
         npairs, rem = nsteps // 2, nsteps % 2
 
         def two(U, s2):
-            U = self._packed_single(U, zr, cur=1)
-            if s2 is not None:
-                U = self._inject_lvl(U, 0, s2[0])
-            U = self._packed_single(U, zr, cur=0)
-            if s2 is not None:
-                U = self._inject_lvl(U, 1, s2[1])
+            U, c1 = single(U, pair, cur, s2[0] if s2 is not None else None)
+            U, _ = single(U, pair, c1, s2[1] if s2 is not None else None)
             return U
 
-        U = U0
         if npairs:
             if have_src:
                 xs = src_table[: 2 * npairs].reshape(npairs, 2, -1)
@@ -351,11 +363,10 @@ class ZSplitEngine:
                     lambda u, _x: (two(u, None), None), U, None, length=npairs
                 )
         if rem:
-            U = self._packed_single(U, zr, cur=1)
-            if have_src:
-                U = self._inject_lvl(U, 0, src_table[nsteps - 1])
-            U = U[jnp.asarray([1, 0])]
-        return {"packed": (U, zr)}
+            U, cur = single(
+                U, pair, cur, src_table[nsteps - 1] if have_src else None
+            )
+        return {f"packed{L}_{pair}_{cur}": (U, zr)}
 
     def run_scan(self, state, m_args, src_table, nsteps):
         if isinstance(state, dict):
