@@ -10,10 +10,15 @@ model-percent on this chip's peak, so the number is hardware-normalized.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent compile cache: Mosaic kernels compile through a remote helper
+# at ~60-90s each; caching makes reruns start in seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 
 

@@ -80,3 +80,23 @@ def test_cli_smoke(tmp_path, capsys):
     assert "Step 2: Performance" in out
     assert "benchmark.csv" in out or "Results" in out
     assert os.path.exists(csv)
+
+
+def test_perf_phase_pallas_packed(tmp_path):
+    """Perf path end-to-end on the packed pallas engine (invariant check
+    exercises dict-state extraction)."""
+    csv = str(tmp_path / "b.csv")
+    results = run_benchmark(
+        method="pallas", grids=[16], timesteps=6, nsrc=1, reps=1,
+        csv_path=csv, verbose=False,
+    )
+    assert len(results) == 1 and results[0]["nan"] is False
+
+
+def test_speed_test_smoke(capsys):
+    from tpufdtd.harness.speedtest import run_speed_test
+
+    out = run_speed_test(sizes=(12,), timesteps=6, backends=("jnp", "jnp"))
+    assert len(out) == 1
+    gs, ta, tb, sp = out[0]
+    assert gs == 12 and ta > 0 and tb > 0 and sp > 0

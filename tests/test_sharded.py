@@ -92,3 +92,21 @@ def test_sharded_frozen_global_rim():
     uc = ring[1]
     assert np.array_equal(uc[:h], uc0[:h])
     assert np.array_equal(uc[-h:], uc0[-h:])
+
+
+def test_sharded_long_axis_1024():
+    """BASELINE config 5 shape class: a long sharded x axis (1024 planes
+    over 8 devices) with thin y/z so it runs on the CPU mesh."""
+    g = tf.Grid3D(1024, 8, 8, hx=1.0, hy=1.0, hz=1.0)
+    shape = g.padded_shape
+    u0 = np.zeros(shape, np.float32)
+    m = np.full(shape, 1.5, np.float32)
+    src = tf.ricker_table(4, 1, 0.001)
+    coords = tf.default_source_coords(1, g.nx, g.ny, g.nz, h=1.0)
+    mesh = make_mesh(8)
+    cfg = tf.SimConfig(dt=0.001, nsteps=4, backend="jnp")
+    ring = simulate_sharded(u0, u0, m, g, cfg, mesh, src=src, src_coords=coords)
+    ring_t = tf.oracle_run_ring(u0, u0, m, g, 0.001, 4, src=src,
+                                src_coords=coords, dtype=np.float64)
+    for mine, truth in zip(ring, ring_t):
+        assert rel_l2(mine, truth) < 1e-4

@@ -14,6 +14,8 @@ import argparse
 import os
 import sys
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
 from ..utils.envcfg import runtime_config
 from ..utils.peaks import detect_peaks
 from .correctness import run_correctness

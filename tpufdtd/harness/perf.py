@@ -94,7 +94,11 @@ def run_benchmark(
                 f" | AI: {ai:.4g} FLOPs/byte"
             )
 
-        sim = Simulator(grid, cfg, m, coords)
+        try:
+            sim = Simulator(grid, cfg, m, coords)
+        except Exception as e:  # keep sweeping (mirrors the skip behavior)
+            print(f"[skip] {gs}^3 failed to build: {type(e).__name__}: {e}")
+            continue
         device_times, total_times = [], []
         for rep in range(reps):
             # per-rep randomized ICs: bit-identical repeated executions can be
@@ -194,7 +198,7 @@ def run_benchmark(
         # reference's (timing reps above use random ICs)
         state = sim.prepare_state(u0, u0)
         state = sim.run(state, src)
-        final = np.stack([sim.engine.extract_level(x) for x in state])
+        final = np.stack(sim.extract_state(state))
         has_nan = bool(np.isnan(final).any())
         max_val = float(np.abs(final[np.isfinite(final)]).max())
         if verbose:

@@ -384,7 +384,12 @@ def make_engine(
     if cfg.backend == "pallas":
         from .ops import stencil_pallas_z
 
-        if stencil_pallas_z.supported(grid) and cfg.storage_dtype == "float32":
+        if cfg.storage_dtype == "bfloat16":
+            # bf16 sublane tiling (16-row) is incompatible with the current
+            # pallas layouts; the XLA backend handles bf16 storage with f32
+            # compute (upcast per step)
+            return JnpEngine(grid, cfg, m_ref, coords)
+        if stencil_pallas_z.supported(grid):
             return ZSplitEngine(grid, cfg, m_ref, coords)
         return PallasV2Engine(grid, cfg, m_ref, coords)
     raise ValueError(
