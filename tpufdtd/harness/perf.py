@@ -100,7 +100,10 @@ def run_benchmark(
             print(f"[skip] {gs}^3 failed to build: {type(e).__name__}: {e}")
             continue
         device_times, total_times = [], []
-        for rep in range(reps):
+        # one discarded warm rep: the first execution of each compiled span
+        # carries (remote) Mosaic compilation, which the reference's
+        # precompiled kernels never see in their reps
+        for rep in range(reps + 1):
             # per-rep randomized ICs: bit-identical repeated executions can be
             # served from an execution cache on this stack, faking timings;
             # random fields keep every rep real (timing is IC-independent)
@@ -111,6 +114,8 @@ def run_benchmark(
             state = sim.prepare_state(ua, ub)
             state, secs = sim.run_timed(state, src)
             total = time.perf_counter() - t0
+            if rep == 0:
+                continue
             device_times.append(secs)
             total_times.append(total)
 
