@@ -35,6 +35,9 @@ def main(argv=None):
     p.add_argument("--csv", default="benchmark.csv")
     p.add_argument("--skip-correctness", action="store_true")
     p.add_argument("--skip-perf", action="store_true")
+    p.add_argument("--append-csv", action="store_true",
+                   help="append to an existing CSV instead of replacing it "
+                        "(the reference always starts fresh, main.cpp:796)")
     args = p.parse_args(argv)
 
     rc = runtime_config()
@@ -57,7 +60,7 @@ def main(argv=None):
 
     if not args.skip_perf:
         print("\n=== Step 2: Performance ===")
-        if args.csv and os.path.exists(args.csv):
+        if args.csv and os.path.exists(args.csv) and not args.append_csv:
             os.remove(args.csv)
         for backend in args.backends:
             run_benchmark(

@@ -297,9 +297,12 @@ def choose_tiling_fused2(
             uc = (bx + 4 * R) * win_y * lanes
             up = (bx + 2 * R) * win_y * lanes
             core = bx * _round_up(by, 8) * lanes
-            u1 = (bx + 2 * R) * _round_up(by + 2 * R, 8) * lanes
-            vmem = 4 * (2 * (uc + up) + 2 * 2 * core + u1 + 5 * core)
-            if vmem > vmem_budget_bytes:
+            u1 = (bx + 2 * R) * _round_up(by + 2 * R, 8) * (lanes + 128)
+            zr = 2 * (bx + 2 * R) * win_y * 128
+            vmem = 4 * (2 * (uc + up) + 2 * 2 * core + u1 + 5 * core + zr)
+            # 40% headroom: Mosaic's actual stack allocation measured ~1.36x
+            # this model (640^3 OOM'd at a modeled 89MB using 120.7MB real)
+            if vmem * 1.4 > vmem_budget_bytes:
                 continue
             units = ((bx + 4 * R) * win_y + (bx + 2 * R) * win_y) / (bx * by) + 2.0
             score = -units + 1e-9 * bx * by
