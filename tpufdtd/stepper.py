@@ -22,8 +22,7 @@ representation:
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +32,6 @@ from .config import Grid3D, SimConfig
 from .layout import Layout, ZSplitLayout
 from .ops import stencil_jnp
 from .sources import (
-    SourceTerm,
     build_source_term,
     cubes_fit_core,
     inject,
