@@ -1,0 +1,138 @@
+"""v5 manual-DMA plane-sweep engine (interpret mode on CPU).
+
+The sweep kernel (ops/stencil_sweep) is the flagship fast path: in-place
+K-step temporal fusion on packed U[2], one HBM pass per plane per fused
+call. These tests run it through the Simulator fast ring (ring='auto' with
+identical rims) against the f64 oracle, sources included.
+"""
+
+import numpy as np
+import pytest
+
+import tpufdtd as tf
+from tpufdtd.oracle import oracle_run
+from tpufdtd.stepper import Simulator, make_engine
+from conftest import rel_l2
+
+
+def _fast_ic(grid, seed=0):
+    """Random interior + one shared random rim across both levels (the fast
+    in-place regime: all ring levels carry identical frozen rims)."""
+    rng = np.random.default_rng(seed)
+    h = grid.halo
+    shape = grid.padded_shape
+    rim = rng.standard_normal(shape).astype(np.float32)
+
+    def mk():
+        a = rng.standard_normal(shape).astype(np.float32)
+        a[:h] = rim[:h]; a[-h:] = rim[-h:]
+        a[:, :h] = rim[:, :h]; a[:, -h:] = rim[:, -h:]
+        a[..., :h] = rim[..., :h]; a[..., -h:] = rim[..., -h:]
+        return a
+
+    return mk(), mk()
+
+
+def _run_sweep_vs_oracle(grid, nsteps, coords=None, t_fuse=0, seed=0,
+                         expect_k=3):
+    up, uc = _fast_ic(grid, seed)
+    m = np.full(grid.padded_shape, 1.5, np.float32)
+    cfg = tf.SimConfig(dt=0.001, nsteps=nsteps, backend="pallas",
+                       t_fuse=t_fuse)
+    src = tf.ricker_table(nsteps, coords.shape[0], cfg.dt) if coords is not None else None
+    sim = Simulator(grid, cfg, m, coords)
+    assert sim.engine.sweep_k == expect_k, sim.engine.sweep_k
+    state = sim.prepare_state(up.copy(), uc.copy())
+    assert next(iter(state)).startswith("sweep")
+    state = sim.run(state, src, nsteps)
+    got_prev, got_cur = sim.extract_state(state)
+
+    o_prev, o_cur = oracle_run(up.copy(), uc.copy(), m, grid, cfg.dt, nsteps,
+                               src=src, src_coords=coords, dtype=np.float64)
+    assert rel_l2(got_cur, o_cur) < 2e-6, rel_l2(got_cur, o_cur)
+    assert rel_l2(got_prev, o_prev) < 2e-6
+    return got_cur
+
+
+@pytest.mark.parametrize("nsteps", [3, 6, 7, 8, 10])
+def test_sweep_no_sources_step_counts(nsteps):
+    g = tf.Grid3D(12, 16, 32, hx=1.0, hy=1.0, hz=1.0)
+    _run_sweep_vs_oracle(g, nsteps)
+
+
+def test_sweep_k4():
+    g = tf.Grid3D(12, 16, 32, hx=1.0, hy=1.0, hz=1.0)
+    _run_sweep_vs_oracle(g, 9, t_fuse=4, expect_k=4)
+
+
+def test_sweep_with_source():
+    g = tf.Grid3D(16, 16, 32, hx=1.0, hy=1.0, hz=1.0)
+    # source well inside the interior: cubes for K=3 need radius*2+2 cells
+    coords = np.array([[8.0, 8.0, 16.0]], np.float32)
+    _run_sweep_vs_oracle(g, 7, coords=coords)
+
+
+def test_sweep_with_two_sources_offgrid():
+    g = tf.Grid3D(16, 16, 32, hx=1.0, hy=1.0, hz=1.0)
+    coords = np.array([[7.3, 8.6, 15.2], [8.9, 7.1, 17.8]], np.float32)
+    _run_sweep_vs_oracle(g, 6, coords=coords)
+
+
+def test_sweep_fallback_source_near_boundary():
+    """Sources too close to the rim for K=3 cubes: auto mode silently falls
+    back (to fused pairs or unfused) and stays correct."""
+    g = tf.Grid3D(16, 16, 32, hx=1.0, hy=1.0, hz=1.0)
+    coords = np.array([[1.0, 8.0, 16.0]], np.float32)
+    up, uc = _fast_ic(g)
+    m = np.full(g.padded_shape, 1.5, np.float32)
+    cfg = tf.SimConfig(dt=0.001, nsteps=6, backend="pallas")
+    src = tf.ricker_table(6, 1, cfg.dt)
+    sim = Simulator(g, cfg, m, coords)
+    assert sim.engine.sweep_k == 0
+    state = sim.prepare_state(up.copy(), uc.copy())
+    state = sim.run(state, src, 6)
+    _, got_cur = sim.extract_state(state)
+    _, o_cur = oracle_run(up.copy(), uc.copy(), m, g, cfg.dt, 6, src=src,
+                          src_coords=coords, dtype=np.float64)
+    assert rel_l2(got_cur, o_cur) < 2e-6
+
+
+def test_sweep_explicit_tfuse3_raises_when_ineligible():
+    g = tf.Grid3D(16, 16, 32, hx=1.0, hy=1.0, hz=1.0)
+    m = np.full(g.padded_shape, 1.5, np.float32)
+    m[8, 8, 8] = 2.0  # non-uniform medium
+    with pytest.raises(ValueError):
+        Simulator(g, tf.SimConfig(backend="pallas", t_fuse=3), m)
+
+
+def test_sweep_anisotropic_spacing():
+    """hx != hy != hz exercises the exact (non-isotropic) leap form."""
+    g = tf.Grid3D(12, 16, 32, hx=1.0, hy=0.5, hz=2.0)
+    _run_sweep_vs_oracle(g, 6, seed=3)
+
+
+def test_sweep_frozen_rims_bitexact():
+    """All rim cells stay bit-identical to their initial values."""
+    g = tf.Grid3D(12, 16, 32, hx=1.0, hy=1.0, hz=1.0)
+    up, uc = _fast_ic(g, seed=5)
+    m = np.full(g.padded_shape, 1.5, np.float32)
+    cfg = tf.SimConfig(dt=0.001, nsteps=6, backend="pallas")
+    sim = Simulator(g, cfg, m)
+    state = sim.prepare_state(up.copy(), uc.copy())
+    state = sim.run(state, None, 6)
+    got_prev, got_cur = sim.extract_state(state)
+    h = g.halo
+    for got in (got_prev, got_cur):
+        np.testing.assert_array_equal(got[:h], uc[:h])
+        np.testing.assert_array_equal(got[-h:], uc[-h:])
+        np.testing.assert_array_equal(got[:, :h], uc[:, :h])
+        np.testing.assert_array_equal(got[:, -h:], uc[:, -h:])
+        np.testing.assert_array_equal(got[..., :h], uc[..., :h])
+        np.testing.assert_array_equal(got[..., -h:], uc[..., -h:])
+
+
+def test_sweep_determinism():
+    g = tf.Grid3D(12, 16, 32, hx=1.0, hy=1.0, hz=1.0)
+    a = _run_sweep_vs_oracle(g, 6, seed=7)
+    b = _run_sweep_vs_oracle(g, 6, seed=7)
+    np.testing.assert_array_equal(a, b)

@@ -106,10 +106,11 @@ class ZSplitLayout:
 
     grid: Grid3D
     py: int = 8
+    xpad: int = 0  # 0 -> grid.halo; the sweep kernel widens this to K*radius
 
     @property
     def px(self) -> int:
-        return self.grid.halo
+        return self.xpad if self.xpad else self.grid.halo
 
     @property
     def core_shape(self) -> Tuple[int, int, int]:
@@ -127,12 +128,14 @@ class ZSplitLayout:
         h = g.halo
         arr_ref = np.asarray(arr_ref)
         dy = self.py - h
+        dx = self.px - h
         core = np.zeros(self.core_shape, arr_ref.dtype)
         zrim = np.zeros(self.zrim_shape, arr_ref.dtype)
+        xs = slice(dx, dx + g.nx + 2 * h)
         ys = slice(dy, dy + g.ny + 2 * h)
-        core[:, ys, :] = arr_ref[:, :, h : h + g.nz]
-        zrim[:, ys, :h] = arr_ref[:, :, :h]
-        zrim[:, ys, h:] = arr_ref[:, :, h + g.nz :]
+        core[xs, ys, :] = arr_ref[:, :, h : h + g.nz]
+        zrim[xs, ys, :h] = arr_ref[:, :, :h]
+        zrim[xs, ys, h:] = arr_ref[:, :, h + g.nz :]
         return core, zrim
 
     def join(self, core, zrim) -> np.ndarray:
@@ -141,9 +144,11 @@ class ZSplitLayout:
         core = np.asarray(core)
         zrim = np.asarray(zrim)
         dy = self.py - h
+        dx = self.px - h
         out = np.zeros((g.nx + 2 * h, g.ny + 2 * h, g.nz + 2 * h), core.dtype)
+        xs = slice(dx, dx + g.nx + 2 * h)
         ys = slice(dy, dy + g.ny + 2 * h)
-        out[:, :, h : h + g.nz] = core[:, ys, :]
-        out[:, :, :h] = zrim[:, ys, :h]
-        out[:, :, h + g.nz :] = zrim[:, ys, h:]
+        out[:, :, h : h + g.nz] = core[xs, ys, :]
+        out[:, :, :h] = zrim[xs, ys, :h]
+        out[:, :, h + g.nz :] = zrim[xs, ys, h:]
         return out

@@ -1,0 +1,469 @@
+"""Pallas-TPU leapfrog kernel v5 — manual-DMA plane sweep with in-place
+K-step temporal fusion.
+
+The v4 packed kernels (stencil_pallas_z) let Mosaic's automatic block
+pipeline stream overlapping x-halo windows, which re-fetches 2KR x-planes per
+bx-plane block and double-buffers whole multi-level windows: ~2.5 HBM passes
+per step at 512^3 (fused K=2). This kernel is the TPU-native analogue of the
+reference's shared-memory plane sweep (cuda_optimized.cu:146-237): a single
+grid-less program sweeps the x axis keeping rings of full (nyp, nz) y-z
+planes in VMEM, so every u plane moves between HBM and VMEM exactly once per
+fused call:
+
+    K=1:  read cur + read prev + write next   = 3 plane-passes / step
+    K=2:  read 2 + write 2 per two steps      = 2   passes / step
+    K=3:  read 2 + write 2 per three steps    = 4/3 passes / step
+
+All fetches/writes are explicit `pltpu.make_async_copy` DMAs pipelined
+FETCH_LEAD planes ahead of compute (the role the reference's `load_plane` +
+__syncthreads ring plays, with DMA semaphores instead of barriers).
+
+In-place on U[2] for every K: the write DMA for plane X of either level is
+issued strictly after the pipeline's last read of that plane (reads trail at
+most R planes behind stage 1's frontier; writes trail 2R*(K-1) behind), so
+u_{n+K-1} and u_{n+K} safely overwrite u_{n-1} and u_n level-for-level. This
+also halves the HBM working set vs the v4 U[4] fused scheme.
+
+Temporal-fusion semantics match stencil_pallas_z.packed_fused2 (frozen-rim
+regime): intermediate-stage planes outside the global interior are the
+frozen cur planes, stage y-rim rows are masked back to cur, z rims come from
+the shared (read-only) rim array, and source injection is corrected by the
+caller via linear superposition (sources.injection_propagation_cubes).
+
+The z rim is carried TRANSPOSED as zrimT[nxp, 2h, nyp] so its lane dimension
+is nyp rather than 2h=8 (a 2h-lane array would be (8,128)-tile padded 16x in
+both HBM and VMEM); the whole rim then fits VMEM as one block (~10 MB at
+512^3) and the kernel pays only two tiny (d, rows) transposes per plane.
+
+Uniform-medium fast path only (m is a compile-time scalar) — the regime of
+the reference benchmark (m = 1.5 everywhere, main.cpp:352); non-uniform m
+falls back to the v3/v4 engines.
+
+Constraints: px = halo = 4 supports K <= 3 (stage-1 frontier reaches
+px - K*R + R >= 0); py = 8 supports K <= 4. ny % 8 == 0 (sublane-aligned
+interior rows). Any nz (nz % 128 == 0 for full DMA efficiency).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import Grid3D, stencil_weights
+
+CUR_RING = 8  # power of two >= 2R + 1 + FETCH_LEAD
+PREV_RING = 4  # power of two >= 1 + FETCH_LEAD
+STAGE_RING = 8  # power of two >= 2R + 1 (+ pipeline skew slack)
+OUT_RING = 4
+FETCH_LEAD = 3
+
+
+def max_k_fuse(grid: Grid3D, px: int = 8, py: int = 8) -> int:
+    """Largest supported fusion depth for pad geometry (px, py): stage-1's
+    x fetch frontier needs px >= K*R; py >= 8 suffices for any K (stages
+    compute interior rows only; y rim rows are copied, not computed)."""
+    R = grid.radius
+    return max(1, min(px // R, 4)) if py >= 8 else 1
+
+
+def supported(grid: Grid3D) -> bool:
+    return grid.ny % 8 == 0 and grid.radius <= 4 and grid.nx >= 2 * grid.radius
+
+
+def _make_leap(grid: Grid3D, dt: float, m_val: float):
+    """leap(planes, prev, zrT, y0, ylen) -> (ylen, nz) update.
+
+    planes = (cm2, cm1, c, cp1, cp2) full (nyp, nz) x-neighbor planes;
+    prev: (ylen, nz) previous-time plane rows; zrT: (2h, nyp) frozen z rim
+    of this x plane. Mirrors openacc.cpp:102-107 term-for-term.
+    """
+    R = grid.radius
+    h = grid.halo
+    nz = grid.nz
+    W = stencil_weights(grid.order)
+    dt32 = np.float32(dt)
+    r2 = np.float32(1.0) / np.float32(grid.hx) ** 2
+    r3 = np.float32(1.0) / np.float32(grid.hy) ** 2
+    r4 = np.float32(1.0) / np.float32(grid.hz) ** 2
+    r1 = np.float32(1.0) / (dt32 * dt32)
+    m = np.float32(m_val)
+
+    uniform_h = grid.hx == grid.hy == grid.hz
+
+    # zrT is this plane's frozen z rim, (2h, nyp); it is transposed ONCE and
+    # column-sliced per distance. Computes rows [y0, y0+ylen).
+    def leap_exact(planes, prev, zrT, y0: int, ylen: int):
+        """u_next in the reference's exact algebraic form
+        (openacc.cpp:102-107), term-for-term."""
+        cm2, cm1, cy, cp1, cp2 = planes
+        y1 = y0 + ylen
+        c = cy[y0:y1, :]
+        zr = jnp.transpose(zrT[...], (1, 0))[y0:y1, :]  # (ylen, 2h)
+        r5 = W[0] * c
+        tx, ty, tz = r5, r5, r5
+        xs = {1: (cm1, cp1), 2: (cm2, cp2)}
+        for d in range(R, 0, -1):
+            xm, xp = xs[d]
+            tx = tx + W[d] * (xm[y0:y1, :] + xp[y0:y1, :])
+            ty = ty + W[d] * (cy[y0 - d : y1 - d, :] + cy[y0 + d : y1 + d, :])
+            zp = jnp.concatenate([c[:, d:], zr[:, h : h + d]], axis=1)
+            zm = jnp.concatenate([zr[:, h - d : h], c[:, : nz - d]], axis=1)
+            tz = tz + W[d] * (zp + zm)
+        return (
+            dt32
+            * dt32
+            * (r2 * tx + r3 * ty + r4 * tz - (np.float32(-2.0) * r1 * c + r1 * prev) * m)
+            / m
+        )
+
+    def leap_isotropic(planes, prev, zrT, y0: int, ylen: int):
+        """Same update for hx == hy == hz with one fused accumulator: the
+        axis sums share the 1/h^2 factor, saving ~1/3 of the VPU ops.
+        Differs from leap_exact only in fp association order (gated by the
+        rel-L2 tolerance vs the f64 oracle, DEVIATIONS.md item 1)."""
+        cm2, cm1, cy, cp1, cp2 = planes
+        y1 = y0 + ylen
+        c = cy[y0:y1, :]
+        zr = jnp.transpose(zrT[...], (1, 0))[y0:y1, :]  # (ylen, 2h)
+        acc = (np.float32(3.0) * W[0]) * c
+        xs = {1: (cm1, cp1), 2: (cm2, cp2)}
+        for d in range(R, 0, -1):
+            xm, xp = xs[d]
+            nb = xm[y0:y1, :] + xp[y0:y1, :]
+            nb = nb + cy[y0 - d : y1 - d, :]
+            nb = nb + cy[y0 + d : y1 + d, :]
+            nb = nb + jnp.concatenate([c[:, d:], zr[:, h : h + d]], axis=1)
+            nb = nb + jnp.concatenate([zr[:, h - d : h], c[:, : nz - d]], axis=1)
+            acc = acc + W[d] * nb
+        scale = dt32 * dt32 * r2 / m  # r2 == r3 == r4
+        return scale * acc + (np.float32(2.0) * c - prev)
+
+    return leap_isotropic if uniform_h else leap_exact
+
+
+def _sweep_kernel(
+    u_hbm,
+    zrT_ref,
+    out_hbm,
+    cur_ring,
+    prev_ring,
+    stage_ring,
+    out_ring,
+    sem_cur,
+    sem_prev,
+    sem_out,
+    *,
+    grid: Grid3D,
+    dt: float,
+    m_val: float,
+    K: int,
+    px: int,
+    py: int,
+    cur: int,
+):
+    R = grid.radius
+    nx, ny, nz = grid.nx, grid.ny, grid.nz
+    nyp = ny + 2 * py
+    leap = _make_leap(grid, dt, m_val)
+    n_iter = nx + 2 * R * (K - 1)
+    j0 = -(K - 1) * R  # stage-1 plane index at iteration 0 (interior coords)
+    cur_lvl = cur if K == 1 else 1
+    prev_lvl = 1 - cur_lvl
+
+    # cur planes consumed, in order: px + j0 - R .. px + nx - 1 + (K-1)*R
+    # (interior stage-1 planes need +-R neighbors; trailing frozen planes
+    # need only themselves, and px + nx - 1 + (K-1)R >= px + nx - 1 + R).
+    q_cur0 = px + j0 - R
+    assert q_cur0 >= 0, "pad too narrow: need px >= K*R"
+    q_cur_last = px + nx - 1 + max((K - 1) * R, R)
+    assert q_cur_last <= nx + 2 * px - 1
+    n_cur = q_cur_last - q_cur0 + 1
+    # prev planes consumed: px + j for interior j in [0, nx)
+    q_prev0 = px
+
+    def fetch_cur(q, slot: int):
+        return pltpu.make_async_copy(
+            u_hbm.at[cur_lvl, q], cur_ring.at[slot], sem_cur.at[slot]
+        )
+
+    def fetch_prev(q, slot: int):
+        return pltpu.make_async_copy(
+            u_hbm.at[prev_lvl, q], prev_ring.at[slot], sem_prev.at[slot]
+        )
+
+    def write_out(lvl: int, slot: int, X):
+        # lvl 0 -> u_{n+K-1} (new prev), lvl 1 -> u_{n+K} (new cur); for
+        # K == 1 the single output overwrites the prev level (2-buffer ring).
+        dst = prev_lvl if K == 1 else lvl
+        return pltpu.make_async_copy(
+            out_ring.at[lvl, slot],
+            out_hbm.at[dst, X, pl.ds(py, ny), :],
+            sem_out.at[lvl, slot],
+        )
+
+    # ---- prologue ----------------------------------------------------------
+    n_pro_cur = min(2 * R + FETCH_LEAD, n_cur)
+    for a in range(n_pro_cur):
+        fetch_cur(q_cur0 + a, (q_cur0 + a) % CUR_RING).start()
+    for a in range(min(2 * R, n_cur)):
+        fetch_cur(q_cur0 + a, (q_cur0 + a) % CUR_RING).wait()
+    n_pro_prev = min(FETCH_LEAD, nx)
+    for a in range(n_pro_prev):
+        fetch_prev(q_prev0 + a, (q_prev0 + a) % PREV_RING).start()
+
+    # The x sweep runs in blocks of 8 unrolled iterations so that EVERY ring
+    # slot index is a compile-time constant (8*b contributes 0 mod every ring
+    # size): Mosaic then addresses the ring planes as direct views. With
+    # traced slot indices each access materializes a full-plane VMEM copy,
+    # which measured ~2.5x slower than the automatic block pipeline.
+    UNROLL = 8
+    assert CUR_RING % UNROLL == 0 or UNROLL % CUR_RING == 0
+    n_blk = -(-n_iter // UNROLL)
+
+    def emit(t, k: int):
+        """One sweep iteration; t = UNROLL*b + k with k static."""
+        # -- DMA frontiers ---------------------------------------------------
+        qc_issue = q_cur0 + n_pro_cur + t
+
+        @pl.when(qc_issue <= q_cur_last)
+        def _():
+            fetch_cur(qc_issue, (q_cur0 + n_pro_cur + k) % CUR_RING).start()
+
+        qc_wait = q_cur0 + 2 * R + t
+
+        @pl.when(qc_wait <= q_cur_last)
+        def _():
+            fetch_cur(qc_wait, (q_cur0 + 2 * R + k) % CUR_RING).wait()
+
+        j = j0 + t  # stage-1 interior plane index
+        in1 = jnp.logical_and(j >= 0, j < nx)
+
+        @pl.when(
+            jnp.logical_and(j + FETCH_LEAD >= n_pro_prev, j + FETCH_LEAD < nx)
+        )
+        def _():
+            fetch_prev(
+                px + j + FETCH_LEAD, (px + j0 + k + FETCH_LEAD) % PREV_RING
+            ).start()
+
+        @pl.when(in1)
+        def _():
+            fetch_prev(px + j, (px + j0 + k) % PREV_RING).wait()
+
+        def cur_at(d: int):  # cur plane at X1 + d, static slot
+            return cur_ring[(px + j0 + k + d) % CUR_RING]
+
+        # -- stage 1 ----------------------------------------------------------
+        X1 = px + j
+        s1_slot = (px + j0 + k) % STAGE_RING
+        planes1 = (cur_at(-2), cur_at(-1), cur_at(0), cur_at(1), cur_at(2))
+        cy1 = planes1[2]
+
+        if K == 1:
+            o_slot = k % OUT_RING
+
+            @pl.when(in1)
+            def _():
+                pv = prev_ring[(px + j0 + k) % PREV_RING]
+                zrT1 = zrT_ref[X1]
+                upd = leap(planes1, pv[py : py + ny, :], zrT1, py, ny)
+
+                @pl.when(t >= OUT_RING)
+                def _():
+                    write_out(0, o_slot, X1).wait()
+
+                out_ring[0, o_slot] = upd
+                # u_next overwrites the prev level (2-buffer leapfrog ring)
+                write_out(0, o_slot, X1).start()
+
+            return
+
+        # Fused stages. Every stage computes ONLY the ny interior rows: the
+        # band rows a later stage reads beyond the interior are frozen rim
+        # rows whose true value is the cur plane's, so they are copied, not
+        # computed — no widened bands, no vector masking, and every row
+        # slice is naturally 8-aligned (py = 8, ny % 8 == 0).
+
+        @pl.when(j < nx + (K - 1) * R)  # guards block-padding iterations
+        def _():
+            @pl.when(in1)
+            def _():
+                pv = prev_ring[(px + j0 + k) % PREV_RING]
+                zrT1 = zrT_ref[X1]
+                upd1 = leap(planes1, pv[py : py + ny, :], zrT1, py, ny)
+                stage_ring[0, s1_slot, py : py + ny] = upd1
+                stage_ring[0, s1_slot, 0:py] = cy1[0:py, :]
+                stage_ring[0, s1_slot, py + ny :] = cy1[py + ny :, :]
+
+            @pl.when(jnp.logical_not(in1))
+            def _():
+                stage_ring[0, s1_slot] = cy1[...]
+
+        # -- stages 2..K -------------------------------------------------------
+        for s in range(2, K + 1):
+            js = j0 + t - R * (s - 1)
+            Xs = px + js
+            ks = (px + j0 + k - R * (s - 1)) % STAGE_RING  # static slot of Xs
+            # stage s populates planes js in [-(K-s)R, nx + (K-s)R) so stage
+            # s+1 has its +-R x neighbors; the final stage emits interior only.
+            lo = -(K - s) * R
+            run_s = jnp.logical_and(js >= lo, js < nx - lo)
+
+            def compute_stage(s=s, js=js, Xs=Xs, ks=ks):
+                in_int = jnp.logical_and(js >= 0, js < nx)
+                planes = tuple(
+                    stage_ring[s - 2, (ks + d) % STAGE_RING]
+                    for d in (-2, -1, 0, 1, 2)
+                )
+                cyS = planes[2]
+                if s < K:
+
+                    @pl.when(in_int)
+                    def _():
+                        if s == 2:
+                            pvs = cur_ring[(px + j0 + k - R) % CUR_RING]
+                        else:
+                            pvs = stage_ring[s - 3, ks]
+                        zrTs = zrT_ref[Xs]
+                        upd = leap(
+                            planes, pvs[py : py + ny, :], zrTs, py, ny
+                        )
+                        stage_ring[s - 1, ks, py : py + ny] = upd
+                        stage_ring[s - 1, ks, 0:py] = cyS[0:py, :]
+                        stage_ring[s - 1, ks, py + ny :] = cyS[py + ny :, :]
+
+                    @pl.when(jnp.logical_not(in_int))
+                    def _():
+                        stage_ring[s - 1, ks] = cyS[...]
+
+                else:
+                    # final stage: emit (u_{n+K-1}, u_{n+K}) for plane Xs
+                    o_slot = (j0 + k - R * (K - 1)) % OUT_RING
+
+                    @pl.when(js >= OUT_RING)
+                    def _():
+                        write_out(0, o_slot, px).wait()
+                        write_out(1, o_slot, px).wait()
+
+                    if s == 2:
+                        pvs = cur_ring[(px + j0 + k - R) % CUR_RING]
+                    else:
+                        pvs = stage_ring[s - 3, ks]
+                    zrTs = zrT_ref[Xs]
+                    upd = leap(planes, pvs[py : py + ny, :], zrTs, py, ny)
+                    out_ring[1, o_slot] = upd
+                    # u_{n+K-1} = stage K-1's plane Xs, interior rows
+                    out_ring[0, o_slot] = stage_ring[s - 2, ks][py : py + ny, :]
+                    write_out(0, o_slot, Xs).start()
+                    write_out(1, o_slot, Xs).start()
+
+            @pl.when(run_s)
+            def _(compute_stage=compute_stage):
+                compute_stage()
+
+    def body(b, carry):
+        for k in range(UNROLL):
+            emit(UNROLL * b + k, k)
+        return carry
+
+    jax.lax.fori_loop(0, n_blk, body, 0, unroll=False)
+
+    # ---- drain outstanding writes ------------------------------------------
+    # (.wait() only consumes the semaphore slot; the X passed is irrelevant
+    # as long as the copy shape — and so the byte count — matches.)
+    n_out_lvls = 1 if K == 1 else 2
+    for a in range(min(OUT_RING, nx)):
+        i = nx - 1 - a
+        for lvl in range(n_out_lvls):
+            write_out(lvl, i % OUT_RING, px).wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "grid", "dt", "m_val", "k_fuse", "cur", "interpret", "vmem_limit"
+    ),
+)
+def sweep_fused(
+    U: jnp.ndarray,
+    zrimT: jnp.ndarray,
+    *,
+    grid: Grid3D,
+    dt: float,
+    m_val: float,
+    k_fuse: int = 2,
+    cur: int = 1,
+    interpret: bool = False,
+    vmem_limit: int = 100 * 1024 * 1024,
+) -> jnp.ndarray:
+    """K fused in-place leapfrog steps on packed U[2] = [u_{n-1}, u_n]
+    (sweep-layout cores); returns U holding [u_{n+K-1}, u_{n+K}].
+
+    For K >= 2 the level roles are fixed (prev=0, cur=1) on both input and
+    output. For K == 1 `cur` names the input cur level and the output lands
+    in level 1-cur (roles flip each call, like packed_step).
+
+    zrimT: transposed frozen z rim [nxp, 2h, nyp] (see module docstring).
+    """
+    K = k_fuse
+    nxp, nyp, nz = U.shape[1], U.shape[2], U.shape[3]
+    ny = grid.ny
+    px, py = (nxp - grid.nx) // 2, (nyp - ny) // 2
+    assert 1 <= K <= max_k_fuse(grid, px, py), (K, px, py)
+    assert py >= 8 and py % 8 == 0, py
+    assert supported(grid)
+
+    kern = functools.partial(
+        _sweep_kernel, grid=grid, dt=dt, m_val=m_val, K=K, px=px, py=py,
+        cur=cur,
+    )
+    scratch = [
+        pltpu.VMEM((CUR_RING, nyp, nz), jnp.float32),
+        pltpu.VMEM((PREV_RING, nyp, nz), jnp.float32),
+        pltpu.VMEM(
+            ((K - 1, STAGE_RING, nyp, nz) if K > 1 else (1, 1, 8, 128)),
+            jnp.float32,
+        ),
+        pltpu.VMEM((2, OUT_RING, ny, nz), jnp.float32),
+        pltpu.SemaphoreType.DMA((CUR_RING,)),
+        pltpu.SemaphoreType.DMA((PREV_RING,)),
+        pltpu.SemaphoreType.DMA((2, OUT_RING)),
+    ]
+    flops_per_pt = K * (3 * (grid.order + 1) * 2 + 6)
+    bytes_pt = 16  # 2 reads + 2 writes per call
+    cost = pl.CostEstimate(
+        flops=flops_per_pt * grid.interior_cells,
+        bytes_accessed=bytes_pt * grid.interior_cells,
+        transcendentals=0,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(U.shape, U.dtype),
+        input_output_aliases={0: 0},
+        scratch_shapes=scratch,
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=vmem_limit
+        ),
+        interpret=interpret,
+    )(U, zrimT)
+
+
+def transpose_zrim(zrim: np.ndarray) -> np.ndarray:
+    """[nxp, nyp, 2h] -> sweep layout [nxp, 2h, nyp]."""
+    return np.ascontiguousarray(np.transpose(np.asarray(zrim), (0, 2, 1)))
+
+
+def untranspose_zrim(zrimT: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(np.asarray(zrimT), (0, 2, 1)))

@@ -132,6 +132,7 @@ def split_source_term(term: SourceTerm, lay) -> tuple:
     g = lay.grid
     h = g.halo
     dy = lay.py - h
+    dx = lay.px - h
     if term.empty:
         return term, term
 
@@ -140,6 +141,7 @@ def split_source_term(term: SourceTerm, lay) -> tuple:
     in_hi = iz >= h + g.nz
     in_rim = in_lo | in_hi
     iy = term.iy + np.int32(dy)
+    term = dataclasses.replace(term, ix=term.ix + np.int32(dx))
 
     def pick(mask, iz_mapped):
         return SourceTerm(
@@ -160,27 +162,42 @@ def split_source_term(term: SourceTerm, lay) -> tuple:
 
 def injection_propagation_cubes(grid: Grid3D, core_term: SourceTerm, m_val: float,
                                 dt: float):
-    """Per-source correction cubes for 2-step temporal fusion.
+    """Per-source correction cubes for 2-step temporal fusion (C_2 only);
+    see injection_cubes_upto for the general K case."""
+    by_power = injection_cubes_upto(grid, core_term, m_val, dt, kmax=2)
+    return by_power.get(2, [])
 
-    Injection is linear, so a deposit delta made into u_{n+1} contributes
-    A*delta to u_{n+2}, where A = one homogeneous leapfrog step with zero
-    previous level (A d = 2d + dt^2 Lap(d)/m). This computes A applied to
-    each source's 8-corner trilinear pattern on a tiny scratch grid and
-    returns [(slices_into_core, cube, src_index), ...]; cubes span
-    [floor-R, floor+R+2) per axis. Returns None if any cube would cross the
-    core interior bounds (caller falls back to unfused stepping).
+
+def injection_cubes_upto(grid: Grid3D, core_term: SourceTerm, m_val: float,
+                         dt: float, kmax: int):
+    """Correction cubes C_j (j = 2..kmax) for K-step temporal fusion.
+
+    Injection is linear, so a unit deposit made into u_{n+1} propagates
+    through the homogeneous leapfrog as e_1 = w, e_j = A e_{j-1} - e_{j-2}
+    (e_0 = 0), where A d = 2d + dt^2 Lap(d)/m — i.e. e_j = oracle_step(
+    e_{j-1}, e_{j-2}). C_j here is e_j for each source's 8-corner trilinear
+    pattern w, computed on a tiny scratch grid. A fused K-block over sources
+    s_n..s_{n+K-1} is then corrected exactly (by superposition) as
+
+        u_{n+K-1} += sum_{i=1..K-1} C_{K-i}   * s_{n+i-1}
+        u_{n+K}   += sum_{i=1..K}   C_{K-i+1} * s_{n+i-1}
+
+    with C_1 applied as the plain scatter (SourceTerm). Returns
+    {j: [(slices_into_core, cube, src_index), ...]}; C_j spans
+    [floor - R*(j-1), floor + R*(j-1) + 2) per axis.
     """
     from .oracle import oracle_step
 
-    if core_term.empty:
-        return []
+    out: dict = {j: [] for j in range(2, kmax + 1)}
+    if core_term.empty or kmax < 2:
+        return out
     R = grid.radius
-    side = 2 * R + 2  # corner pair (2) + R growth per side
-    mini = Grid3D(16, 16, 16, hx=grid.hx, hy=grid.hy, hz=grid.hz, order=grid.order)
+    n_mini = 16 + 8 * max(0, kmax - 3)
+    mini = Grid3D(n_mini, n_mini, n_mini, hx=grid.hx, hy=grid.hy, hz=grid.hz,
+                  order=grid.order)
     h = mini.halo
-    ctr = h + 8 - 1  # a center cell with room
-    out = []
-    lay_core_dims = None
+    ctr = h + n_mini // 2 - 1  # a center cell with room
+    mfield = np.full(mini.padded_shape, np.float32(m_val), np.float32)
     for p in range(core_term.nsrc):
         sel = core_term.src_idx == p
         if not np.any(sel):
@@ -190,18 +207,20 @@ def injection_propagation_cubes(grid: Grid3D, core_term: SourceTerm, m_val: floa
         if sc.size == 0 or not np.any(sc != 0):
             continue
         fx, fy, fz = int(ix.min()), int(iy.min()), int(iz.min())
-        u = np.zeros(mini.padded_shape, np.float32)
+        w = np.zeros(mini.padded_shape, np.float32)
         for k in range(ix.shape[0]):
-            u[ctr + ix[k] - fx, ctr + iy[k] - fy, ctr + iz[k] - fz] += sc[k]
-        zero = np.zeros_like(u)
-        mfield = np.full(mini.padded_shape, np.float32(m_val), np.float32)
-        prop = oracle_step(u, zero, mfield, mini, dt)
-        lo = ctr - R
-        cube = prop[lo : lo + side, lo : lo + side, lo : lo + side]
-        sl = tuple(
-            slice(f - R, f - R + side) for f in (fx, fy, fz)
-        )
-        out.append((sl, np.asarray(cube, np.float32), p))
+            w[ctr + ix[k] - fx, ctr + iy[k] - fy, ctr + iz[k] - fz] += sc[k]
+        e_prev, e_cur = np.zeros_like(w), w
+        for j in range(2, kmax + 1):
+            e_prev, e_cur = e_cur, np.asarray(
+                oracle_step(e_cur, e_prev, mfield, mini, dt), np.float32
+            )
+            g = R * (j - 1)
+            side = 2 * g + 2
+            lo = ctr - g
+            cube = e_cur[lo : lo + side, lo : lo + side, lo : lo + side]
+            sl = tuple(slice(f - g, f - g + side) for f in (fx, fy, fz))
+            out[j].append((sl, cube, p))
     return out
 
 

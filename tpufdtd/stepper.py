@@ -35,6 +35,7 @@ from .sources import (
     build_source_term,
     cubes_fit_core,
     inject,
+    injection_cubes_upto,
     injection_propagation_cubes,
     split_source_term,
 )
@@ -116,6 +117,7 @@ class ZSplitEngine:
             uniform = bool(np.all(m_ref == m_ref.flat[0]))
         self.m_val = float(m_ref.flat[0]) if uniform else None
 
+        self._coords = coords
         ref_term = build_source_term(grid, coords, m_ref)
         self.core_term, self.zrim_term = split_source_term(ref_term, self.lay)
 
@@ -155,6 +157,49 @@ class ZSplitEngine:
                     "t_fuse=2 requires uniform m, identical rims and sources"
                     " at least radius+2 cells inside the interior"
                 )
+        self._init_sweep(grid, cfg, m_ref)
+
+    def _init_sweep(self, grid: Grid3D, cfg: SimConfig, m_ref: np.ndarray):
+        """v5 manual-DMA plane-sweep engine (ops/stencil_sweep): the flagship
+        fast path (t_fuse auto -> K=3) when the fast in-place regime holds
+        and the source correction cubes fit the interior."""
+        from .layout import ZSplitLayout as _ZS
+        from .ops import stencil_sweep
+
+        self.sweep_k = 0
+        want = cfg.t_fuse in (0, 3, 4)
+        k = 3 if cfg.t_fuse == 0 else cfg.t_fuse
+        if not (want and self.fast_capable and stencil_sweep.supported(grid)):
+            if cfg.t_fuse in (3, 4):
+                raise ValueError(
+                    "t_fuse>=3 (sweep kernel) requires uniform m, identical"
+                    " rims, ny % 8 == 0 and nx >= 2*radius"
+                )
+            return
+        self.sweep_lay = _ZS(grid, py=8, xpad=max(grid.halo, k * grid.radius))
+        ref_term = build_source_term(grid, self._coords, m_ref)
+        s_core, s_zrim = split_source_term(ref_term, self.sweep_lay)
+        if bool(np.any(s_zrim.scale != 0)):
+            return
+        cubes = injection_cubes_upto(grid, s_core, self.m_val, cfg.dt, kmax=k)
+        all_cubes = [c for j in cubes for c in cubes[j]]
+        if not cubes_fit_core(
+            all_cubes, self.sweep_lay.core_shape, self.sweep_lay.px,
+            self.sweep_lay.py, grid.nz,
+        ):
+            if cfg.t_fuse in (3, 4):
+                raise ValueError(
+                    "t_fuse>=3 requires sources far enough inside the interior"
+                    f" (radius*{k - 1}+2 cells)"
+                )
+            return
+        self.sweep_k = k
+        self.sweep_term = s_core
+        self.sweep_cubes = {
+            j: [(sl, jnp.asarray(cb), p) for sl, cb, p in cubes[j]]
+            for j in cubes
+        }
+        self._sweep = stencil_sweep
 
     @property
     def m_args(self):
@@ -201,6 +246,14 @@ class ZSplitEngine:
         level rims identical -> the shared zrim + untouched x/y rims make the
         2-buffer ring bit-equivalent to the 3-buffer one), else the exact
         3-level tuple."""
+        if self.sweep_k and self._rims_identical(
+            [u_prev, u_cur, u_target], self.grid.halo
+        ):
+            p_core, p_zrim = self.sweep_lay.split(np.asarray(u_prev))
+            c_core, _ = self.sweep_lay.split(np.asarray(u_cur))
+            U = np.stack([p_core, c_core])  # levels [prev, cur], cur = 1
+            zrT = self._sweep.transpose_zrim(p_zrim)
+            return {"sweep_1": (jnp.asarray(U), jnp.asarray(zrT))}
         if self.fast_capable and self._rims_identical(
             [u_prev, u_cur, u_target], self.grid.halo
         ):
@@ -234,6 +287,14 @@ class ZSplitEngine:
     def extract_state(self, state):
         if isinstance(state, dict):
             key = next(iter(state))
+            if key.startswith("sweep"):
+                U, zrT = state[key]
+                cur = int(key.split("_")[1])
+                zr = self._sweep.untranspose_zrim(np.asarray(zrT))
+                return (
+                    self.sweep_lay.join(np.asarray(U[1 - cur]), zr),
+                    self.sweep_lay.join(np.asarray(U[cur]), zr),
+                )
             U, zr = state[key]
             _, pair, cur = key.split("_")
             pair, cur = int(pair), int(cur)
@@ -366,8 +427,97 @@ class ZSplitEngine:
             )
         return {f"packed{L}_{pair}_{cur}": (U, zr)}
 
+    # ---- v5 sweep ring ----------------------------------------------------
+
+    def _sw_inject(self, U, lvl, src_row):
+        """Scatter one step's source amplitudes into level lvl of sweep U."""
+        t = self.sweep_term
+        if t.empty:
+            return U
+        lv = np.full_like(t.ix, lvl)
+        vals = src_row[t.src_idx] * t.scale
+        return U.at[lv, t.ix, t.iy, t.iz].add(vals, mode="drop")
+
+    def _sw_correct(self, U, s, kk):
+        """Exact source correction after a kk-fused sweep block (levels are
+        canonical: 0 = u_{n+kk-1}, 1 = u_{n+kk}); see
+        sources.injection_cubes_upto for the superposition algebra."""
+        if kk >= 2:
+            U = self._sw_inject(U, 0, s[kk - 2])
+        U = self._sw_inject(U, 1, s[kk - 1])
+        for j in range(2, kk + 1):
+            for sl, cube, p in self.sweep_cubes[j]:
+                U = U.at[(1,) + sl].add(s[kk - j][p] * cube)
+                if kk - 1 - j >= 0:
+                    U = U.at[(0,) + sl].add(s[kk - 1 - j][p] * cube)
+        return U
+
+    def _run_sweep(self, state, src_table, nsteps):
+        key = next(iter(state))
+        U, zrT = state[key]
+        cur = int(key.split("_")[1])
+        k = self.sweep_k
+        have_src = src_table is not None and self.has_sources
+        g, dtv, mv = self.grid, self.cfg.dt, self.m_val
+
+        def scall(U, kk, cur=1):
+            return self._sweep.sweep_fused(
+                U, zrT, grid=g, dt=dtv, m_val=mv, k_fuse=kk, cur=cur,
+                interpret=self._interpret,
+            )
+
+        def single(U, cur, src_row):
+            U = scall(U, 1, cur)
+            if src_row is not None:
+                U = self._sw_inject(U, 1 - cur, src_row)
+            return U, 1 - cur
+
+        done = 0
+        # fused calls need canonical level roles (prev=0, cur=1)
+        while (cur != 1 or nsteps - done < k or k == 1) and done < nsteps:
+            if cur == 1 and 2 <= nsteps - done < k:
+                rem = nsteps - done
+                U = scall(U, rem, 1)
+                if have_src:
+                    U = self._sw_correct(U, src_table[done : done + rem], rem)
+                done += rem
+            else:
+                U, cur = single(
+                    U, cur, src_table[done] if have_src else None
+                )
+                done += 1
+        nb = (nsteps - done) // k
+
+        if nb:
+            def blk(U, s):
+                U = scall(U, k, 1)
+                if s is not None:
+                    U = self._sw_correct(U, s, k)
+                return U
+
+            if have_src:
+                xs = src_table[done : done + nb * k].reshape(nb, k, -1)
+                U, _ = jax.lax.scan(lambda u, s: (blk(u, s), None), U, xs)
+            else:
+                U, _ = jax.lax.scan(
+                    lambda u, _x: (blk(u, None), None), U, None, length=nb
+                )
+            done += nb * k
+        rem = nsteps - done
+        if rem >= 2:
+            U = scall(U, rem, 1)
+            if have_src:
+                U = self._sw_correct(U, src_table[done : done + rem], rem)
+            done += rem
+        elif rem == 1:
+            U, cur = single(U, cur, src_table[done] if have_src else None)
+            done += 1
+        return {f"sweep_{cur}": (U, zrT)}
+
     def run_scan(self, state, m_args, src_table, nsteps):
         if isinstance(state, dict):
+            if next(iter(state)).startswith("sweep"):
+                return self._run_sweep(state, src_table, nsteps)
             return self._run_packed(state, src_table, nsteps)
         return run_scan(state, m_args, src_table, engine=self, nsteps=nsteps)
 
