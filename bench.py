@@ -17,8 +17,16 @@ import time
 import numpy as np
 
 # persistent compile cache: Mosaic kernels compile through a remote helper
-# at ~60-90s each; caching makes reruns start in seconds
+# at minutes each; caching makes reruns start in seconds. NB the env var
+# alone is IGNORED under this stack — must set jax.config explicitly.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+
+def _enable_compile_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 
@@ -31,6 +39,8 @@ def _zero_rims(a, h=4):
 
 def main():
     import jax
+
+    _enable_compile_cache()
 
     import tpufdtd as tf
     from tpufdtd.utils import metrics

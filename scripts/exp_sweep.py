@@ -54,13 +54,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import Grid3D, stencil_weights
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from tpufdtd.config import Grid3D, stencil_weights
 
-CUR_RING = 8  # power of two >= 2R + 1 + FETCH_LEAD
-PREV_RING = 4  # power of two >= 1 + FETCH_LEAD
+LEAP_MODE = 'full'  # full | norim | noy | copy
+
+CUR_RING = int(os.environ.get("EXP_CUR_RING", 8))
+PREV_RING = int(os.environ.get("EXP_PREV_RING", 4))
 STAGE_RING = 8  # power of two >= 2R + 1 (+ pipeline skew slack)
-OUT_RING = 4
-FETCH_LEAD = 3
+OUT_RING = int(os.environ.get("EXP_OUT_RING", 4))
+FETCH_LEAD = int(os.environ.get("EXP_FETCH_LEAD", 3))
 
 
 def max_k_fuse(grid: Grid3D, px: int = 8, py: int = 8) -> int:
@@ -68,47 +72,14 @@ def max_k_fuse(grid: Grid3D, px: int = 8, py: int = 8) -> int:
     x fetch frontier needs px >= K*R; py >= 8 suffices for any K (stages
     compute interior rows only; y rim rows are copied, not computed)."""
     R = grid.radius
-    return max(1, min(px // R, 4)) if py >= 8 else 1
+    return max(1, min(px // R, 8)) if py >= 8 else 1
 
 
 def supported(grid: Grid3D) -> bool:
     return grid.ny % 8 == 0 and grid.radius <= 4 and grid.nx >= 2 * grid.radius
 
 
-VMEM_BUDGET = 120 * 1024 * 1024  # leave headroom under the 128 MB VMEM
-
-
-def vmem_bytes(grid: Grid3D, K: int, px: int, py: int = 8) -> int:
-    """Scratch VMEM this kernel needs at fusion depth K (rings + the
-    lane-padded zrT block); used to pick the largest K that fits."""
-    ny, nz = grid.ny, grid.nz
-    nyp = ny + 2 * py
-    nxp = grid.nx + 2 * px
-    plane = nyp * nz * 4
-    out_plane = ny * nz * 4
-    lanes = -(-nyp // 128) * 128  # zrT lane dim padded to the 128-lane tile
-    zrt = nxp * 2 * grid.halo * lanes * 4
-    stage = (K - 1) * STAGE_RING * plane if K > 1 else 8 * 128 * 4
-    return (
-        CUR_RING * plane
-        + PREV_RING * plane
-        + stage
-        + 2 * OUT_RING * out_plane
-        + zrt
-    )
-
-
-def pick_k_fuse(grid: Grid3D, want: int) -> int:
-    """Largest K <= want whose scratch fits the VMEM budget (0 if none)."""
-    R = grid.radius
-    for k in range(want, 0, -1):
-        px = max(grid.halo, k * R)
-        if k <= max_k_fuse(grid, px) and vmem_bytes(grid, k, px) <= VMEM_BUDGET:
-            return k
-    return 0
-
-
-def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True):
+def _make_leap(grid: Grid3D, dt: float, m_val: float):
     """leap(planes, prev, zrT, y0, ylen) -> (ylen, nz) update.
 
     planes = (cm2, cm1, c, cp1, cp2) full (nyp, nz) x-neighbor planes;
@@ -128,20 +99,6 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True):
 
     uniform_h = grid.hx == grid.hy == grid.hz
 
-    # y (sublane) neighbor rows: `pltpu.roll` lowers ~17% faster end-to-end
-    # than misaligned sublane slices (measured at 512^3; sublane realignment
-    # shuffles dominate the slice form). Values are identical — for d <= py
-    # the sliced window never sees the roll's wraparound rows — so the
-    # interpret path (no roll lowering on CPU) keeps plain slices.
-    if use_roll:
-        def yshift(cy, d: int, y0: int, y1: int):
-            nyp_l = cy.shape[0]
-            sh = d if d > 0 else nyp_l + d
-            return pltpu.roll(cy, sh, 0)[y0:y1, :]
-    else:
-        def yshift(cy, d: int, y0: int, y1: int):
-            return cy[y0 - d : y1 - d, :]
-
     # zrT is this plane's frozen z rim, (2h, nyp); it is transposed ONCE and
     # column-sliced per distance. Computes rows [y0, y0+ylen).
     def leap_exact(planes, prev, zrT, y0: int, ylen: int):
@@ -157,7 +114,7 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True):
         for d in range(R, 0, -1):
             xm, xp = xs[d]
             tx = tx + W[d] * (xm[y0:y1, :] + xp[y0:y1, :])
-            ty = ty + W[d] * (yshift(cy, d, y0, y1) + yshift(cy, -d, y0, y1))
+            ty = ty + W[d] * (cy[y0 - d : y1 - d, :] + cy[y0 + d : y1 + d, :])
             zp = jnp.concatenate([c[:, d:], zr[:, h : h + d]], axis=1)
             zm = jnp.concatenate([zr[:, h - d : h], c[:, : nz - d]], axis=1)
             tz = tz + W[d] * (zp + zm)
@@ -182,14 +139,96 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True):
         for d in range(R, 0, -1):
             xm, xp = xs[d]
             nb = xm[y0:y1, :] + xp[y0:y1, :]
-            nb = nb + yshift(cy, d, y0, y1)
-            nb = nb + yshift(cy, -d, y0, y1)
+            nb = nb + cy[y0 - d : y1 - d, :]
+            nb = nb + cy[y0 + d : y1 + d, :]
             nb = nb + jnp.concatenate([c[:, d:], zr[:, h : h + d]], axis=1)
             nb = nb + jnp.concatenate([zr[:, h - d : h], c[:, : nz - d]], axis=1)
             acc = acc + W[d] * nb
         scale = dt32 * dt32 * r2 / m  # r2 == r3 == r4
         return scale * acc + (np.float32(2.0) * c - prev)
 
+    def leap_copy(planes, prev, zrT, y0, ylen):
+        c = planes[2][y0 : y0 + ylen, :]
+        return np.float32(2.0) * c - prev
+
+    def leap_norim(planes, prev, zrT, y0, ylen):
+        cm2, cm1, cy, cp1, cp2 = planes
+        y1 = y0 + ylen
+        c = cy[y0:y1, :]
+        acc = (np.float32(3.0) * W[0]) * c
+        xs = {1: (cm1, cp1), 2: (cm2, cp2)}
+        for d in range(R, 0, -1):
+            xm, xp = xs[d]
+            nb = xm[y0:y1, :] + xp[y0:y1, :]
+            nb = nb + cy[y0 - d : y1 - d, :]
+            nb = nb + cy[y0 + d : y1 + d, :]
+            nb = nb + jnp.concatenate([c[:, d:], c[:, :d]], axis=1)
+            nb = nb + jnp.concatenate([c[:, nz - d :], c[:, : nz - d]], axis=1)
+            acc = acc + W[d] * nb
+        scale = dt32 * dt32 * r2 / m
+        return scale * acc + (np.float32(2.0) * c - prev)
+
+    def leap_noy(planes, prev, zrT, y0, ylen):
+        cm2, cm1, cy, cp1, cp2 = planes
+        y1 = y0 + ylen
+        c = cy[y0:y1, :]
+        acc = (np.float32(3.0) * W[0]) * c
+        xs = {1: (cm1, cp1), 2: (cm2, cp2)}
+        for d in range(R, 0, -1):
+            xm, xp = xs[d]
+            nb = xm[y0:y1, :] + xp[y0:y1, :]
+            acc = acc + W[d] * nb
+        scale = dt32 * dt32 * r2 / m
+        return scale * acc + (np.float32(2.0) * c - prev)
+
+    def leap_noz(planes, prev, zrT, y0, ylen):
+        cm2, cm1, cy, cp1, cp2 = planes
+        y1 = y0 + ylen
+        c = cy[y0:y1, :]
+        acc = (np.float32(3.0) * W[0]) * c
+        xs = {1: (cm1, cp1), 2: (cm2, cp2)}
+        for d in range(R, 0, -1):
+            xm, xp = xs[d]
+            nb = xm[y0:y1, :] + xp[y0:y1, :]
+            nb = nb + cy[y0 - d : y1 - d, :]
+            nb = nb + cy[y0 + d : y1 + d, :]
+            nb = nb + c
+            nb = nb + c
+            acc = acc + W[d] * nb
+        scale = dt32 * dt32 * r2 / m
+        return scale * acc + (np.float32(2.0) * c - prev)
+
+    def leap_roll(planes, prev, zrT, y0, ylen):
+        from jax.experimental.pallas import tpu as pltpu
+        cm2, cm1, cy, cp1, cp2 = planes
+        y1 = y0 + ylen
+        c = cy[y0:y1, :]
+        zr = jnp.transpose(zrT[...], (1, 0))[y0:y1, :]
+        acc = (np.float32(3.0) * W[0]) * c
+        xs = {1: (cm1, cp1), 2: (cm2, cp2)}
+        for d in range(R, 0, -1):
+            xm, xp = xs[d]
+            nb = xm[y0:y1, :] + xp[y0:y1, :]
+            nyp_l = cy.shape[0]
+            ym = pltpu.roll(cy, d, 0)[y0:y1, :]
+            yp = pltpu.roll(cy, nyp_l - d, 0)[y0:y1, :]
+            nb = nb + ym + yp
+            nb = nb + jnp.concatenate([c[:, d:], zr[:, h : h + d]], axis=1)
+            nb = nb + jnp.concatenate([zr[:, h - d : h], c[:, : nz - d]], axis=1)
+            acc = acc + W[d] * nb
+        scale = dt32 * dt32 * r2 / m
+        return scale * acc + (np.float32(2.0) * c - prev)
+
+    if LEAP_MODE == 'noz':
+        return leap_noz
+    if LEAP_MODE == 'roll':
+        return leap_roll
+    if LEAP_MODE == 'copy':
+        return leap_copy
+    if LEAP_MODE == 'norim':
+        return leap_norim
+    if LEAP_MODE == 'noy':
+        return leap_noy
     return leap_isotropic if uniform_h else leap_exact
 
 
@@ -212,12 +251,11 @@ def _sweep_kernel(
     px: int,
     py: int,
     cur: int,
-    use_roll: bool = True,
 ):
     R = grid.radius
     nx, ny, nz = grid.nx, grid.ny, grid.nz
     nyp = ny + 2 * py
-    leap = _make_leap(grid, dt, m_val, use_roll=use_roll)
+    leap = _make_leap(grid, dt, m_val)
     n_iter = nx + 2 * R * (K - 1)
     j0 = -(K - 1) * R  # stage-1 plane index at iteration 0 (interior coords)
     cur_lvl = cur if K == 1 else 1
@@ -468,7 +506,7 @@ def sweep_fused(
 
     kern = functools.partial(
         _sweep_kernel, grid=grid, dt=dt, m_val=m_val, K=K, px=px, py=py,
-        cur=cur, use_roll=not interpret,
+        cur=cur,
     )
     scratch = [
         pltpu.VMEM((CUR_RING, nyp, nz), jnp.float32),

@@ -40,11 +40,16 @@ def _zero_rims(a, h=4):
     return a
 
 
-def state_bytes(grid: Grid3D) -> int:
+def state_bytes(grid: Grid3D, method: str = "pallas") -> int:
     """Working-set estimate for the skip check (the reference's 40 GB guard,
-    main.cpp:337-341). The packed fused engine holds 4 ring levels in one
-    array and per-rep re-preparation transiently doubles it."""
+    main.cpp:337-341). The v5 sweep engine is in-place on U[2], so its
+    steady state is 2 levels (re-preparation transiently doubles that); the
+    v4 packed engines hold 4 ring levels plus the transient."""
+    from ..ops import stencil_sweep
+
     volp = int(np.prod(grid.padded_shape))
+    if method != "jnp" and stencil_sweep.supported(grid) and             stencil_sweep.pick_k_fuse(grid, 3) > 0:
+        return 4 * volp * 4 + (64 << 20)
     return 8 * volp * 4
 
 
@@ -68,7 +73,7 @@ def run_benchmark(
 
     for gs in grids:
         grid = Grid3D(gs, gs, gs)
-        need = state_bytes(grid)
+        need = state_bytes(grid, method)
         budget = peaks.hbm_gib * (1 << 30) * hbm_budget_frac
         if need > budget:
             if verbose:

@@ -168,13 +168,22 @@ class ZSplitEngine:
 
         self.sweep_k = 0
         want = cfg.t_fuse in (0, 3, 4)
-        k = 3 if cfg.t_fuse == 0 else cfg.t_fuse
+        explicit = cfg.t_fuse in (3, 4)
         if not (want and self.fast_capable and stencil_sweep.supported(grid)):
-            if cfg.t_fuse in (3, 4):
+            if explicit:
                 raise ValueError(
                     "t_fuse>=3 (sweep kernel) requires uniform m, identical"
                     " rims, ny % 8 == 0 and nx >= 2*radius"
                 )
+            return
+        k_req = 3 if cfg.t_fuse == 0 else cfg.t_fuse
+        k = stencil_sweep.pick_k_fuse(grid, k_req)
+        if explicit and k != cfg.t_fuse:
+            raise ValueError(
+                f"t_fuse={cfg.t_fuse} scratch exceeds the VMEM budget for"
+                f" this grid (fits K={k}); use t_fuse=0 for auto selection"
+            )
+        if not k:
             return
         self.sweep_lay = _ZS(grid, py=8, xpad=max(grid.halo, k * grid.radius))
         ref_term = build_source_term(grid, self._coords, m_ref)
