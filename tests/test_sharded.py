@@ -110,3 +110,16 @@ def test_sharded_long_axis_1024():
                                 src_coords=coords, dtype=np.float64)
     for mine, truth in zip(ring, ring_t):
         assert rel_l2(mine, truth) < 1e-4
+
+
+def test_sharded_pallas_backend_matches_oracle():
+    """backend='pallas' swaps the per-shard step for the Pallas leapfrog
+    (interpret mode on CPU); halo exchange and ring semantics unchanged."""
+    g = tf.Grid3D(16, 8, 8, hx=1.0, hy=1.0, hz=1.0)
+    up0, uc0, m = make_correctness_ic(g)
+    mesh = make_mesh(4)
+    cfg = tf.SimConfig(dt=0.001, nsteps=8, backend="pallas")
+    ring = simulate_sharded(up0, uc0, m, g, cfg, mesh)
+    ring_t = tf.oracle_run_ring(up0, uc0, m, g, 0.001, 8, dtype=np.float64)
+    for mine, truth in zip(ring, ring_t):
+        assert rel_l2(mine, truth) < 1e-4

@@ -16,6 +16,15 @@ import sys
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
+
+def _enable_compile_cache():
+    """Persistent compile cache (the env var alone is ignored on this
+    stack — jax.config must be set explicitly before first compile)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 from ..utils.envcfg import runtime_config
 from ..utils.peaks import detect_peaks
 from .correctness import run_correctness
@@ -23,6 +32,7 @@ from .perf import DEFAULT_GRIDS, run_benchmark
 
 
 def main(argv=None):
+    _enable_compile_cache()
     p = argparse.ArgumentParser(description="TPU 3D acoustic FDTD benchmark")
     p.add_argument("--sizes", type=int, nargs="*", default=[32, 64, 128],
                    help="correctness grid sizes (reference: 32..512)")
@@ -70,7 +80,9 @@ def main(argv=None):
                 nsrc=args.sources,
                 reps=args.reps,
                 csv_path=args.csv,
+                storage_dtype=rc.storage,
                 peaks=peaks,
+                t_fuse=rc.t_fuse,
             )
         if args.csv and os.path.exists(args.csv):
             print("\n=== Step 3: Results (benchmark.csv) ===")

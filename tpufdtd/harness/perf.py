@@ -64,6 +64,7 @@ def run_benchmark(
     peaks: Optional[DevicePeaks] = None,
     verbose: bool = True,
     hbm_budget_frac: float = 0.6,
+    t_fuse: int = 0,
 ):
     peaks = peaks or detect_peaks()
     is_optimized = method != "jnp"
@@ -92,6 +93,7 @@ def run_benchmark(
             nsteps=timesteps,
             backend=method if method in ("jnp", "pallas") else "pallas",
             storage_dtype=storage_dtype,
+            t_fuse=t_fuse,
         )
         if verbose:
             print(

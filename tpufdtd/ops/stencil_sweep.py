@@ -89,12 +89,17 @@ def vmem_bytes(grid: Grid3D, K: int, px: int, py: int = 8) -> int:
     lanes = -(-nyp // 128) * 128  # zrT lane dim padded to the 128-lane tile
     zrt = nxp * 2 * grid.halo * lanes * 4
     stage = (K - 1) * STAGE_RING * plane if K > 1 else 8 * 128 * 4
+    # Mosaic needs ~12-16 plane-sized scoped temporaries for the leap
+    # expression on top of the declared scratch (measured: 132.2 MB actual
+    # vs 103 MB declared at 768^3 K=3)
+    temporaries = 13 * plane
     return (
         CUR_RING * plane
         + PREV_RING * plane
         + stage
         + 2 * OUT_RING * out_plane
         + zrt
+        + temporaries
     )
 
 

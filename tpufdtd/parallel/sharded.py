@@ -122,7 +122,21 @@ class ShardedSimulator:
         self.R = grid.radius
         self.lnx = self.lgrid.nx
 
-        self.step_fn = stencil_jnp.make_step(self.lgrid, cfg.dt, self.layout)
+        if cfg.backend == "pallas":
+            # per-shard Pallas leapfrog (interpret mode off-TPU); the halo
+            # exchange stays in XLA collectives around the kernel call. The
+            # kernel needs the TPU layout (8-aligned y pads); x pads are
+            # identical to the reference layout, so the ppermute exchange
+            # indexing is unchanged.
+            from ..ops import stencil_pallas
+
+            self.layout = Layout.tpu(self.lgrid)
+            self.step_fn = stencil_pallas.make_step(
+                self.lgrid, cfg.dt, self.layout
+            )
+        else:
+            self.step_fn = stencil_jnp.make_step(self.lgrid, cfg.dt, self.layout)
+        self._dy = self.layout.pad_lo[1] - self.h  # y shift vs reference
 
         # per-shard source terms (corner indices in local coordinates)
         terms = []
@@ -154,6 +168,11 @@ class ShardedSimulator:
                     src_idx=t.src_idx[keep],
                 )
             )
+        if self._dy:
+            terms = [
+                dataclasses.replace(t, iy=t.iy + np.int32(self._dy))
+                for t in terms
+            ]
         self.packed_terms = _pad_terms(terms)
 
         self._build_program()
@@ -216,6 +235,7 @@ class ShardedSimulator:
                 mesh=self.mesh,
                 in_specs=((spec3, spec3, spec3), spec3),
                 out_specs=(spec3, spec3, spec3),
+                check_vma=False,  # pallas_call out_shape carries no vma
             )
             return f(state, m_sh)
 
@@ -243,6 +263,7 @@ class ShardedSimulator:
                     P(),
                 ),
                 out_specs=(spec3, spec3, spec3),
+                check_vma=False,  # pallas_call out_shape carries no vma
             )
             return f(state, m_sh, packed, src_table)
 
@@ -257,6 +278,15 @@ class ShardedSimulator:
 
     def _shard(self, arr: np.ndarray):
         stacked = shards_from_global(self.grid, self.ndev, np.asarray(arr))
+        if not self.layout.is_reference:
+            lxp = self.lnx + 2 * self.h
+            stacked = np.concatenate(
+                [
+                    self.layout.embed(stacked[d * lxp : (d + 1) * lxp])
+                    for d in range(self.ndev)
+                ],
+                axis=0,
+            )
         sh = NamedSharding(self.mesh, P(self.axis))
         return jax.device_put(jnp.asarray(stacked, jnp.float32), sh)
 
@@ -282,9 +312,20 @@ class ShardedSimulator:
         return self._program_src(state, m_sh, packed, src_table, nsteps)
 
     def extract_state(self, state) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        return tuple(
-            global_from_shards(self.grid, self.ndev, np.asarray(x)) for x in state
-        )
+        out = []
+        for x in state:
+            x = np.asarray(x)
+            if not self.layout.is_reference:
+                lxp_t = self.lnx + 2 * self.layout.pad_lo[0]
+                x = np.concatenate(
+                    [
+                        self.layout.extract(x[d * lxp_t : (d + 1) * lxp_t])
+                        for d in range(self.ndev)
+                    ],
+                    axis=0,
+                )
+            out.append(global_from_shards(self.grid, self.ndev, x))
+        return tuple(out)
 
 
 def simulate_sharded(

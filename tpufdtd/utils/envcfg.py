@@ -5,7 +5,7 @@ linked TU; here every knob is live).
 
   TPUFDTD_BACKEND        jnp | pallas            (default pallas)
   TPUFDTD_STORAGE        float32 | bfloat16      (default float32)
-  TPUFDTD_TFUSE          timesteps fused per HBM pass (default 1)
+  TPUFDTD_TFUSE          timesteps fused per HBM pass (0 = auto)
   TPUFDTD_VMEM_BUDGET    pallas VMEM budget in MiB (default 100)
 """
 
@@ -19,7 +19,7 @@ import os
 class RuntimeConfig:
     backend: str = "pallas"
     storage: str = "float32"
-    t_fuse: int = 1
+    t_fuse: int = 0
     vmem_budget_mib: int = 100
 
 
@@ -27,6 +27,6 @@ def runtime_config() -> RuntimeConfig:
     return RuntimeConfig(
         backend=os.environ.get("TPUFDTD_BACKEND", "pallas"),
         storage=os.environ.get("TPUFDTD_STORAGE", "float32"),
-        t_fuse=int(os.environ.get("TPUFDTD_TFUSE", "1")),
+        t_fuse=int(os.environ.get("TPUFDTD_TFUSE", "0")),
         vmem_budget_mib=int(os.environ.get("TPUFDTD_VMEM_BUDGET", "100")),
     )
