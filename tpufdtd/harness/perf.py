@@ -108,6 +108,12 @@ def run_benchmark(
             print(f"[skip] {gs}^3 failed to build: {type(e).__name__}: {e}")
             continue
         device_times, total_times = [], []
+        # small grids: a 45-step span's device time sits below the tunnel's
+        # per-dispatch jitter, so stretch the TIMED span to ~45x512^3
+        # cell-steps inside one program (run_timed times a throwaway state
+        # copy; physics unaffected)
+        rest = max(1, timesteps - 5)
+        q = int(np.clip((512**3 * 45) // max(1, gs**3 * rest), 1, 64))
         # one discarded warm rep: the first execution of each compiled span
         # carries (remote) Mosaic compilation, which the reference's
         # precompiled kernels never see in their reps
@@ -120,7 +126,7 @@ def run_benchmark(
             ub = _zero_rims(rng.standard_normal(shape).astype(np.float32))
             t0 = time.perf_counter()
             state = sim.prepare_state(ua, ub)
-            state, secs = sim.run_timed(state, src)
+            state, secs = sim.run_timed(state, src, timing_repeat=q)
             total = time.perf_counter() - t0
             if rep == 0:
                 continue

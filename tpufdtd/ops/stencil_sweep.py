@@ -71,8 +71,12 @@ def max_k_fuse(grid: Grid3D, px: int = 8, py: int = 8) -> int:
     return max(1, min(px // R, 4)) if py >= 8 else 1
 
 
-def supported(grid: Grid3D) -> bool:
-    return grid.ny % 8 == 0 and grid.radius <= 4 and grid.nx >= 2 * grid.radius
+def supported(grid: Grid3D, interpret: bool = False) -> bool:
+    """Compiled mode additionally needs nz % 128 == 0: Mosaic rejects DMA
+    slices of a tiled HBM memref whose logical lane extent is not a tile
+    multiple (e.g. 192 lanes inside a 256-lane padded memref)."""
+    ok = grid.ny % 8 == 0 and grid.radius <= 4 and grid.nx >= 2 * grid.radius
+    return ok and (interpret or grid.nz % 128 == 0)
 
 
 VMEM_BUDGET = 120 * 1024 * 1024  # leave headroom under the 128 MB VMEM
@@ -469,7 +473,7 @@ def sweep_fused(
     px, py = (nxp - grid.nx) // 2, (nyp - ny) // 2
     assert 1 <= K <= max_k_fuse(grid, px, py), (K, px, py)
     assert py >= 8 and py % 8 == 0, py
-    assert supported(grid)
+    assert supported(grid, interpret)
 
     kern = functools.partial(
         _sweep_kernel, grid=grid, dt=dt, m_val=m_val, K=K, px=px, py=py,
