@@ -79,18 +79,18 @@ def main():
     coords = tf.default_source_coords(1, n, n, n)
     sim = tf.Simulator(grid, cfg, m, coords)
 
-    # per-rep randomized ICs: repeated executions with bit-identical inputs
-    # can be served from an execution cache on this stack, which would fake
-    # the timing; random fields keep every rep's work real. (The reference
-    # zeroes u each rep, main.cpp:389 — timing is IC-independent.)
+    # Randomized IC (rims zeroed so the fast in-place ring stays eligible);
+    # reps CHAIN on-device — each rep's evolved state is the next rep's IC,
+    # so no rep repeats a bit-identical (program, input) pair (which this
+    # stack can serve from an execution cache, faking timings) and the
+    # ~1 GB host re-preparation per rep disappears. (The reference zeroes u
+    # each rep, main.cpp:389 — timing is IC-independent.)
+    rng = np.random.default_rng(0)
+    ua = _zero_rims(rng.standard_normal(grid.padded_shape).astype(np.float32))
+    ub = _zero_rims(rng.standard_normal(grid.padded_shape).astype(np.float32))
+    state = sim.prepare_state(ua, ub)
     times = []
     for rep in range(reps):
-        rng = np.random.default_rng(rep)
-        # zero rims so all ring levels share identical (frozen) rims and the
-        # fast in-place ring stays eligible
-        ua = _zero_rims(rng.standard_normal(grid.padded_shape).astype(np.float32))
-        ub = _zero_rims(rng.standard_normal(grid.padded_shape).astype(np.float32))
-        state = sim.prepare_state(ua, ub)
         state, secs = sim.run_timed(state, src)
         times.append(secs)
     # median over reps: each rep's device time comes from a two-span delta

@@ -136,3 +136,38 @@ def test_sweep_determinism():
     a = _run_sweep_vs_oracle(g, 6, seed=7)
     b = _run_sweep_vs_oracle(g, 6, seed=7)
     np.testing.assert_array_equal(a, b)
+
+
+def test_sweep_zrt_mode_nz128():
+    """nz % 128 == 0 uses the side-array zrT rim mode (not z_embed)."""
+    g = tf.Grid3D(12, 16, 128, hx=1.0, hy=1.0, hz=1.0)
+    got = _run_sweep_vs_oracle(g, 6, seed=11)
+    assert got.shape == g.padded_shape
+
+
+def test_sweep_embed_mode_selected():
+    from tpufdtd.ops import stencil_sweep as sw
+    assert sw.z_embedded(tf.Grid3D(12, 16, 32))
+    assert not sw.z_embedded(tf.Grid3D(12, 16, 128))
+    assert sw.core_nz(tf.Grid3D(12, 16, 32)) == 128
+    assert sw.core_nz(tf.Grid3D(12, 16, 120)) == 128
+    assert sw.core_nz(tf.Grid3D(12, 16, 192)) == 256
+
+
+def test_sweep_fallback_source_near_z_rim():
+    """A source whose trilinear corners touch the z rim cannot use the
+    sweep (frozen-rim deposits are per-level); auto mode falls back."""
+    g = tf.Grid3D(16, 16, 32, hx=1.0, hy=1.0, hz=1.0)
+    coords = np.array([[8.0, 8.0, 0.0]], np.float32)
+    up, uc = _fast_ic(g)
+    m = np.full(g.padded_shape, 1.5, np.float32)
+    cfg = tf.SimConfig(dt=0.001, nsteps=6, backend="pallas")
+    src = tf.ricker_table(6, 1, cfg.dt)
+    sim = Simulator(g, cfg, m, coords)
+    assert sim.engine.sweep_k == 0
+    state = sim.prepare_state(up.copy(), uc.copy())
+    state = sim.run(state, src, 6)
+    _, got_cur = sim.extract_state(state)
+    _, o_cur = oracle_run(up.copy(), uc.copy(), m, g, cfg.dt, 6, src=src,
+                          src_coords=coords, dtype=np.float64)
+    assert rel_l2(got_cur, o_cur) < 2e-6

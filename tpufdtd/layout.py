@@ -107,19 +107,34 @@ class ZSplitLayout:
     grid: Grid3D
     py: int = 8
     xpad: int = 0  # 0 -> grid.halo; the sweep kernel widens this to K*radius
+    # z_embed: when nz is not a lane-tile multiple, carry the z rim INSIDE
+    # the core — lanes [0:h | h:h+nz | h+nz:2h+nz | zeros] padded up to a
+    # 128 multiple. The (8,128) HBM tiling would pad those lanes anyway, so
+    # this costs no extra physical traffic and keeps every DMA tile-aligned.
+    z_embed: bool = False
 
     @property
     def px(self) -> int:
         return self.xpad if self.xpad else self.grid.halo
 
     @property
+    def nzc(self) -> int:
+        """Core lane count: nz exactly, or the rim-embedded padded width."""
+        g = self.grid
+        if not self.z_embed:
+            return g.nz
+        return -(-(g.nz + 2 * g.halo) // 128) * 128
+
+    @property
     def core_shape(self) -> Tuple[int, int, int]:
         g = self.grid
-        return (g.nx + 2 * self.px, g.ny + 2 * self.py, g.nz)
+        return (g.nx + 2 * self.px, g.ny + 2 * self.py, self.nzc)
 
     @property
     def zrim_shape(self) -> Tuple[int, int, int]:
         g = self.grid
+        if self.z_embed:
+            return (1, 8, 128)  # placeholder block (kernel ignores it)
         return (g.nx + 2 * self.px, g.ny + 2 * self.py, 2 * g.halo)
 
     def split(self, arr_ref: np.ndarray):
@@ -133,6 +148,9 @@ class ZSplitLayout:
         zrim = np.zeros(self.zrim_shape, arr_ref.dtype)
         xs = slice(dx, dx + g.nx + 2 * h)
         ys = slice(dy, dy + g.ny + 2 * h)
+        if self.z_embed:
+            core[xs, ys, : g.nz + 2 * h] = arr_ref
+            return core, zrim
         core[xs, ys, :] = arr_ref[:, :, h : h + g.nz]
         zrim[xs, ys, :h] = arr_ref[:, :, :h]
         zrim[xs, ys, h:] = arr_ref[:, :, h + g.nz :]
@@ -148,6 +166,9 @@ class ZSplitLayout:
         out = np.zeros((g.nx + 2 * h, g.ny + 2 * h, g.nz + 2 * h), core.dtype)
         xs = slice(dx, dx + g.nx + 2 * h)
         ys = slice(dy, dy + g.ny + 2 * h)
+        if self.z_embed:
+            out[:] = core[xs, ys, : g.nz + 2 * h]
+            return out
         out[:, :, h : h + g.nz] = core[xs, ys, :]
         out[:, :, :h] = zrim[xs, ys, :h]
         out[:, :, h + g.nz :] = zrim[xs, ys, h:]

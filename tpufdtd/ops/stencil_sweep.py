@@ -72,11 +72,22 @@ def max_k_fuse(grid: Grid3D, px: int = 8, py: int = 8) -> int:
 
 
 def supported(grid: Grid3D, interpret: bool = False) -> bool:
-    """Compiled mode additionally needs nz % 128 == 0: Mosaic rejects DMA
-    slices of a tiled HBM memref whose logical lane extent is not a tile
-    multiple (e.g. 192 lanes inside a 256-lane padded memref)."""
-    ok = grid.ny % 8 == 0 and grid.radius <= 4 and grid.nx >= 2 * grid.radius
-    return ok and (interpret or grid.nz % 128 == 0)
+    """Any nz is supported: aligned nz uses the side-array zrT rim mode;
+    nz % 128 != 0 uses the rim-in-core z_embed mode (Mosaic rejects DMA
+    slices of non-tile-multiple lane extents, so the layout pads the core
+    lanes — physically free, the (8,128) HBM tiling pads them anyway)."""
+    del interpret
+    return grid.ny % 8 == 0 and grid.radius <= 4 and grid.nx >= 2 * grid.radius
+
+
+def z_embedded(grid: Grid3D) -> bool:
+    return grid.nz % 128 != 0
+
+
+def core_nz(grid: Grid3D) -> int:
+    if not z_embedded(grid):
+        return grid.nz
+    return -(-(grid.nz + 2 * grid.halo) // 128) * 128
 
 
 VMEM_BUDGET = 120 * 1024 * 1024  # leave headroom under the 128 MB VMEM
@@ -85,13 +96,16 @@ VMEM_BUDGET = 120 * 1024 * 1024  # leave headroom under the 128 MB VMEM
 def vmem_bytes(grid: Grid3D, K: int, px: int, py: int = 8) -> int:
     """Scratch VMEM this kernel needs at fusion depth K (rings + the
     lane-padded zrT block); used to pick the largest K that fits."""
-    ny, nz = grid.ny, grid.nz
+    ny, nz = grid.ny, core_nz(grid)
     nyp = ny + 2 * py
     nxp = grid.nx + 2 * px
     plane = nyp * nz * 4
     out_plane = ny * nz * 4
-    lanes = -(-nyp // 128) * 128  # zrT lane dim padded to the 128-lane tile
-    zrt = nxp * 2 * grid.halo * lanes * 4
+    if z_embedded(grid):
+        zrt = 8 * 128 * 4  # placeholder block only
+    else:
+        lanes = -(-nyp // 128) * 128  # zrT lanes padded to the 128 tile
+        zrt = nxp * 2 * grid.halo * lanes * 4
     stage = (K - 1) * STAGE_RING * plane if K > 1 else 8 * 128 * 4
     # Mosaic needs ~12-16 plane-sized scoped temporaries for the leap
     # expression on top of the declared scratch (measured: 132.2 MB actual
@@ -117,12 +131,23 @@ def pick_k_fuse(grid: Grid3D, want: int) -> int:
     return 0
 
 
-def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True):
-    """leap(planes, prev, zrT, y0, ylen) -> (ylen, nz) update.
+def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True,
+               z_embed: bool = False):
+    """leap(planes, prev, zrT, y0, ylen) -> (ylen, width) update.
 
-    planes = (cm2, cm1, c, cp1, cp2) full (nyp, nz) x-neighbor planes;
-    prev: (ylen, nz) previous-time plane rows; zrT: (2h, nyp) frozen z rim
-    of this x plane. Mirrors openacc.cpp:102-107 term-for-term.
+    planes = (cm2, cm1, c, cp1, cp2) full (nyp, width) x-neighbor planes;
+    prev: (ylen, width) previous-time plane rows. Mirrors openacc.cpp:102-107
+    term-for-term.
+
+    Two z-rim modes:
+    - zrT mode (width == nz): zrT is this plane's frozen z rim (2h, nyp),
+      transposed once and column-sliced per distance; z neighbors are
+      concats of the interior with rim columns.
+    - z_embed mode (width = round_up(nz + 2h, 128)): the rim lives inside
+      the plane at lanes [0:h] / [h+nz:2h+nz] (dead zero lanes beyond), so
+      z neighbors are plain lane shifts with zero fill; non-interior lanes
+      of the update are masked back to the cur plane (frozen rim; dead
+      lanes stay exactly 0). zrT is ignored.
     """
     R = grid.radius
     h = grid.halo
@@ -151,15 +176,38 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True):
         def yshift(cy, d: int, y0: int, y1: int):
             return cy[y0 - d : y1 - d, :]
 
-    # zrT is this plane's frozen z rim, (2h, nyp); it is transposed ONCE and
-    # column-sliced per distance. Computes rows [y0, y0+ylen).
+    def z_neighbors(c, zr, d: int, ylen: int):
+        """(z+d, z-d) neighbor rows of c."""
+        if z_embed:
+            zeros = jnp.zeros((ylen, d), c.dtype)
+            zp = jnp.concatenate([c[:, d:], zeros], axis=1)
+            zm = jnp.concatenate([zeros, c[:, : c.shape[1] - d]], axis=1)
+            return zp, zm
+        zp = jnp.concatenate([c[:, d:], zr[:, h : h + d]], axis=1)
+        zm = jnp.concatenate([zr[:, h - d : h], c[:, : nz - d]], axis=1)
+        return zp, zm
+
+    def finish(upd, c, ylen: int):
+        """z_embed: mask non-interior lanes back to the frozen cur values
+        (rim lanes stay frozen; dead lanes stay 0)."""
+        if not z_embed:
+            return upd
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ylen, c.shape[1]), 1)
+        interior = jnp.logical_and(lane >= h, lane < h + nz)
+        return jnp.where(interior, upd, c)
+
+    def get_zr(zrT, y0: int, y1: int):
+        if z_embed:
+            return None
+        return jnp.transpose(zrT[...], (1, 0))[y0:y1, :]  # (ylen, 2h)
+
     def leap_exact(planes, prev, zrT, y0: int, ylen: int):
         """u_next in the reference's exact algebraic form
         (openacc.cpp:102-107), term-for-term."""
         cm2, cm1, cy, cp1, cp2 = planes
         y1 = y0 + ylen
         c = cy[y0:y1, :]
-        zr = jnp.transpose(zrT[...], (1, 0))[y0:y1, :]  # (ylen, 2h)
+        zr = get_zr(zrT, y0, y1)
         r5 = W[0] * c
         tx, ty, tz = r5, r5, r5
         xs = {1: (cm1, cp1), 2: (cm2, cp2)}
@@ -167,15 +215,15 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True):
             xm, xp = xs[d]
             tx = tx + W[d] * (xm[y0:y1, :] + xp[y0:y1, :])
             ty = ty + W[d] * (yshift(cy, d, y0, y1) + yshift(cy, -d, y0, y1))
-            zp = jnp.concatenate([c[:, d:], zr[:, h : h + d]], axis=1)
-            zm = jnp.concatenate([zr[:, h - d : h], c[:, : nz - d]], axis=1)
+            zp, zm = z_neighbors(c, zr, d, ylen)
             tz = tz + W[d] * (zp + zm)
-        return (
+        upd = (
             dt32
             * dt32
             * (r2 * tx + r3 * ty + r4 * tz - (np.float32(-2.0) * r1 * c + r1 * prev) * m)
             / m
         )
+        return finish(upd, c, ylen)
 
     def leap_isotropic(planes, prev, zrT, y0: int, ylen: int):
         """Same update for hx == hy == hz with one fused accumulator: the
@@ -185,7 +233,7 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True):
         cm2, cm1, cy, cp1, cp2 = planes
         y1 = y0 + ylen
         c = cy[y0:y1, :]
-        zr = jnp.transpose(zrT[...], (1, 0))[y0:y1, :]  # (ylen, 2h)
+        zr = get_zr(zrT, y0, y1)
         acc = (np.float32(3.0) * W[0]) * c
         xs = {1: (cm1, cp1), 2: (cm2, cp2)}
         for d in range(R, 0, -1):
@@ -193,11 +241,13 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True):
             nb = xm[y0:y1, :] + xp[y0:y1, :]
             nb = nb + yshift(cy, d, y0, y1)
             nb = nb + yshift(cy, -d, y0, y1)
-            nb = nb + jnp.concatenate([c[:, d:], zr[:, h : h + d]], axis=1)
-            nb = nb + jnp.concatenate([zr[:, h - d : h], c[:, : nz - d]], axis=1)
+            zp, zm = z_neighbors(c, zr, d, ylen)
+            nb = nb + zp
+            nb = nb + zm
             acc = acc + W[d] * nb
         scale = dt32 * dt32 * r2 / m  # r2 == r3 == r4
-        return scale * acc + (np.float32(2.0) * c - prev)
+        upd = scale * acc + (np.float32(2.0) * c - prev)
+        return finish(upd, c, ylen)
 
     return leap_isotropic if uniform_h else leap_exact
 
@@ -222,11 +272,12 @@ def _sweep_kernel(
     py: int,
     cur: int,
     use_roll: bool = True,
+    z_embed: bool = False,
 ):
     R = grid.radius
     nx, ny, nz = grid.nx, grid.ny, grid.nz
     nyp = ny + 2 * py
-    leap = _make_leap(grid, dt, m_val, use_roll=use_roll)
+    leap = _make_leap(grid, dt, m_val, use_roll=use_roll, z_embed=z_embed)
     n_iter = nx + 2 * R * (K - 1)
     j0 = -(K - 1) * R  # stage-1 plane index at iteration 0 (interior coords)
     cur_lvl = cur if K == 1 else 1
@@ -327,7 +378,7 @@ def _sweep_kernel(
             @pl.when(in1)
             def _():
                 pv = prev_ring[(px + j0 + k) % PREV_RING]
-                zrT1 = zrT_ref[X1]
+                zrT1 = None if z_embed else zrT_ref[X1]
                 upd = leap(planes1, pv[py : py + ny, :], zrT1, py, ny)
 
                 @pl.when(t >= OUT_RING)
@@ -351,7 +402,7 @@ def _sweep_kernel(
             @pl.when(in1)
             def _():
                 pv = prev_ring[(px + j0 + k) % PREV_RING]
-                zrT1 = zrT_ref[X1]
+                zrT1 = None if z_embed else zrT_ref[X1]
                 upd1 = leap(planes1, pv[py : py + ny, :], zrT1, py, ny)
                 stage_ring[0, s1_slot, py : py + ny] = upd1
                 stage_ring[0, s1_slot, 0:py] = cy1[0:py, :]
@@ -386,7 +437,7 @@ def _sweep_kernel(
                             pvs = cur_ring[(px + j0 + k - R) % CUR_RING]
                         else:
                             pvs = stage_ring[s - 3, ks]
-                        zrTs = zrT_ref[Xs]
+                        zrTs = None if z_embed else zrT_ref[Xs]
                         upd = leap(
                             planes, pvs[py : py + ny, :], zrTs, py, ny
                         )
@@ -411,7 +462,7 @@ def _sweep_kernel(
                         pvs = cur_ring[(px + j0 + k - R) % CUR_RING]
                     else:
                         pvs = stage_ring[s - 3, ks]
-                    zrTs = zrT_ref[Xs]
+                    zrTs = None if z_embed else zrT_ref[Xs]
                     upd = leap(planes, pvs[py : py + ny, :], zrTs, py, ny)
                     out_ring[1, o_slot] = upd
                     # u_{n+K-1} = stage K-1's plane Xs, interior rows
@@ -471,13 +522,17 @@ def sweep_fused(
     nxp, nyp, nz = U.shape[1], U.shape[2], U.shape[3]
     ny = grid.ny
     px, py = (nxp - grid.nx) // 2, (nyp - ny) // 2
+    z_embed = nz != grid.nz
     assert 1 <= K <= max_k_fuse(grid, px, py), (K, px, py)
     assert py >= 8 and py % 8 == 0, py
-    assert supported(grid, interpret)
+    assert supported(grid)
+    assert nz == core_nz(grid), (nz, grid.nz)
+    if not interpret:
+        assert nz % 128 == 0, nz  # DMA lane-tile alignment
 
     kern = functools.partial(
         _sweep_kernel, grid=grid, dt=dt, m_val=m_val, K=K, px=px, py=py,
-        cur=cur, use_roll=not interpret,
+        cur=cur, use_roll=not interpret, z_embed=z_embed,
     )
     scratch = [
         pltpu.VMEM((CUR_RING, nyp, nz), jnp.float32),

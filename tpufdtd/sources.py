@@ -153,7 +153,11 @@ def split_source_term(term: SourceTerm, lay) -> tuple:
             nsrc=term.nsrc,
         )
 
-    core_z = iz - h
+    # z-embedded cores keep the reference z coordinate (rim lanes live
+    # inside the core); rim-touching corners still go to the zrim side so
+    # callers that cannot honor per-level rim deposits can detect and
+    # reject them.
+    core_z = iz if getattr(lay, "z_embed", False) else iz - h
     rim_z = np.where(in_lo, iz, h + (iz - h - g.nz))
     core = pick(~in_rim, core_z)
     zrim = pick(in_rim, rim_z)
@@ -224,9 +228,10 @@ def injection_cubes_upto(grid: Grid3D, core_term: SourceTerm, m_val: float,
     return out
 
 
-def cubes_fit_core(cubes, core_shape, px, py, nz) -> bool:
+def cubes_fit_core(cubes, core_shape, px, py, nz, z0: int = 0) -> bool:
     """All correction cubes must sit fully inside the interior of the core
-    arrays (x in [px, nx+px), y in [py, ny+py), z in [0, nz))."""
+    arrays (x in [px, nx+px), y in [py, ny+py), z in [z0, z0+nz) — z0 is
+    the embedded-rim offset for z_embed layouts, else 0)."""
     nxp, nyp, _ = core_shape
     for sl, cube, _p in cubes:
         (sx, sy, sz) = sl
@@ -234,6 +239,6 @@ def cubes_fit_core(cubes, core_shape, px, py, nz) -> bool:
             return False
         if sy.start < py or sy.stop > nyp - py:
             return False
-        if sz.start < 0 or sz.stop > nz:
+        if sz.start < z0 or sz.stop > z0 + nz:
             return False
     return True

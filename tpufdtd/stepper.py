@@ -186,7 +186,14 @@ class ZSplitEngine:
             )
         if not k:
             return
-        self.sweep_lay = _ZS(grid, py=8, xpad=max(grid.halo, k * grid.radius))
+        if not explicit and not self._interpret and grid.nx < 48:
+            # measured: at 32^3 the sweep's pipeline fill/drain (12-plane
+            # prologue vs 32 planes) loses to the packed engine
+            return
+        ze = stencil_sweep.z_embedded(grid)
+        self.sweep_lay = _ZS(
+            grid, py=8, xpad=max(grid.halo, k * grid.radius), z_embed=ze
+        )
         ref_term = build_source_term(grid, self._coords, m_ref)
         s_core, s_zrim = split_source_term(ref_term, self.sweep_lay)
         if bool(np.any(s_zrim.scale != 0)):
@@ -196,6 +203,7 @@ class ZSplitEngine:
         if not cubes_fit_core(
             all_cubes, self.sweep_lay.core_shape, self.sweep_lay.px,
             self.sweep_lay.py, grid.nz,
+            z0=grid.halo if ze else 0,
         ):
             if cfg.t_fuse in (3, 4):
                 raise ValueError(
@@ -262,7 +270,11 @@ class ZSplitEngine:
             p_core, p_zrim = self.sweep_lay.split(np.asarray(u_prev))
             c_core, _ = self.sweep_lay.split(np.asarray(u_cur))
             U = np.stack([p_core, c_core])  # levels [prev, cur], cur = 1
-            zrT = self._sweep.transpose_zrim(p_zrim)
+            zrT = (
+                p_zrim  # z_embed: placeholder block, kernel ignores it
+                if self.sweep_lay.z_embed
+                else self._sweep.transpose_zrim(p_zrim)
+            )
             return {"sweep_1": (jnp.asarray(U), jnp.asarray(zrT))}
         if self.fast_capable and self._rims_identical(
             [u_prev, u_cur, u_target], self.grid.halo
@@ -300,7 +312,11 @@ class ZSplitEngine:
             if key.startswith("sweep"):
                 U, zrT = state[key]
                 cur = int(key.split("_")[1])
-                zr = self._sweep.untranspose_zrim(np.asarray(zrT))
+                zr = (
+                    np.asarray(zrT)  # z_embed: unused by join
+                    if self.sweep_lay.z_embed
+                    else self._sweep.untranspose_zrim(np.asarray(zrT))
+                )
                 return (
                     self.sweep_lay.join(np.asarray(U[1 - cur]), zr),
                     self.sweep_lay.join(np.asarray(U[cur]), zr),
