@@ -11,8 +11,6 @@ model-percent on this chip's peak, so the number is hardware-normalized.
 
 import json
 import os
-import sys
-import time
 
 import numpy as np
 

@@ -11,7 +11,7 @@ import pytest
 
 import tpufdtd as tf
 from tpufdtd.oracle import oracle_run
-from tpufdtd.stepper import Simulator, make_engine
+from tpufdtd.stepper import Simulator
 from conftest import rel_l2
 
 

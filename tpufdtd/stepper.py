@@ -341,8 +341,6 @@ class ZSplitEngine:
         return U.at[lv, t.ix, t.iy, t.iz].add(vals, mode="drop")
 
     def _packed_single(self, U, zr, cur, base=0):
-        import functools
-
         bx, by = self._tile1
         return self._z.packed_step(
             U, zr, grid=self.grid, dt=self.cfg.dt, bx=bx, by=by,
