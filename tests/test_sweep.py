@@ -171,3 +171,20 @@ def test_sweep_fallback_source_near_z_rim():
     _, o_cur = oracle_run(up.copy(), uc.copy(), m, g, cfg.dt, 6, src=src,
                           src_coords=coords, dtype=np.float64)
     assert rel_l2(got_cur, o_cur) < 2e-6
+
+
+@pytest.mark.parametrize("order", [2, 6, 8])
+def test_fast_ring_other_orders(order):
+    """Fast-ring routing per stencil order: radius <= 2 uses the sweep,
+    higher orders must fall back to the packed engines (the sweep's plane
+    window is built for 5 x-neighbors) and still match the oracle."""
+    g = tf.Grid3D(12, 16, 32, hx=1.0, hy=1.0, hz=1.0, order=order)
+    up, uc = _fast_ic(g, seed=13)
+    m = np.full(g.padded_shape, 1.5, np.float32)
+    sim = Simulator(g, tf.SimConfig(dt=0.001, nsteps=4, backend="pallas"), m)
+    assert (sim.engine.sweep_k > 0) == (g.radius <= 2)
+    state = sim.prepare_state(up.copy(), uc.copy())
+    state = sim.run(state, None, 4)
+    _, got = sim.extract_state(state)
+    _, o = oracle_run(up.copy(), uc.copy(), m, g, 0.001, 4, dtype=np.float64)
+    assert rel_l2(got, o) < 1e-5

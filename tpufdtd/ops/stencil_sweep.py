@@ -77,7 +77,9 @@ def supported(grid: Grid3D, interpret: bool = False) -> bool:
     slices of non-tile-multiple lane extents, so the layout pads the core
     lanes — physically free, the (8,128) HBM tiling pads them anyway)."""
     del interpret
-    return grid.ny % 8 == 0 and grid.radius <= 4 and grid.nx >= 2 * grid.radius
+    # radius <= 2 (order <= 4): the leap's x-neighbor window and the ring
+    # geometry are built for 5 planes; higher orders use the packed engines
+    return grid.ny % 8 == 0 and grid.radius <= 2 and grid.nx >= 2 * grid.radius
 
 
 def z_embedded(grid: Grid3D) -> bool:
