@@ -54,7 +54,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import Grid3D, stencil_weights
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from tpufdtd.config import Grid3D, stencil_weights
 
 CUR_RING = 8  # power of two >= 2R + 1 + FETCH_LEAD
 PREV_RING = 4  # power of two >= 1 + FETCH_LEAD
@@ -354,7 +356,7 @@ def _sweep_kernel(
         """One sweep iteration. t: traced or Python int; k = t % UNROLL
         static; cond(site...) -> Python bool resolving each guard."""
         qc_issue = q_cur0 + n_pro_cur + t
-        if cond(None, "qc_issue"):
+        if cond(qc_issue_ok := None, "qc_issue"):
             fetch_cur(qc_issue, (q_cur0 + n_pro_cur + k) % CUR_RING).start()
         qc_wait = q_cur0 + 2 * R + t
         if cond(None, "qc_wait"):
