@@ -519,7 +519,7 @@ def sweep_fused(
     k_fuse: int = 2,
     cur: int = 1,
     interpret: bool = False,
-    vmem_limit: int = 127 * 1024 * 1024,
+    vmem_limit: int = 130 * 1024 * 1024,
 ) -> jnp.ndarray:
     """K fused in-place leapfrog steps on packed U[2] = [u_{n-1}, u_n]
     (sweep-layout cores); returns U holding [u_{n+K-1}, u_{n+K}].
