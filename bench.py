@@ -28,7 +28,7 @@ def _enable_compile_cache():
 
 
 
-def _zero_rims(a, h=4):
+def _zero_rims(a, h):
     a[:h] = 0; a[-h:] = 0
     a[:, :h] = 0; a[:, -h:] = 0
     a[..., :h] = 0; a[..., -h:] = 0
@@ -84,8 +84,8 @@ def main():
     # ~1 GB host re-preparation per rep disappears. (The reference zeroes u
     # each rep, main.cpp:389 — timing is IC-independent.)
     rng = np.random.default_rng(0)
-    ua = _zero_rims(rng.standard_normal(grid.padded_shape).astype(np.float32))
-    ub = _zero_rims(rng.standard_normal(grid.padded_shape).astype(np.float32))
+    ua = _zero_rims(rng.standard_normal(grid.padded_shape).astype(np.float32), grid.halo)
+    ub = _zero_rims(rng.standard_normal(grid.padded_shape).astype(np.float32), grid.halo)
     state = sim.prepare_state(ua, ub)
     times = []
     for rep in range(reps):

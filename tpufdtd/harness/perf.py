@@ -33,22 +33,29 @@ from ..wavelets import default_source_coords, ricker_table
 DEFAULT_GRIDS = (32, 64, 96, 128, 192, 256, 384, 512, 640, 768)
 
 
-def _zero_rims(a, h=4):
+def _zero_rims(a, h):
     a[:h] = 0; a[-h:] = 0
     a[:, :h] = 0; a[:, -h:] = 0
     a[..., :h] = 0; a[..., -h:] = 0
     return a
 
 
-def state_bytes(grid: Grid3D, method: str = "pallas") -> int:
+def state_bytes(grid: Grid3D, method: str = "pallas", t_fuse: int = 0) -> int:
     """Working-set estimate for the skip check (the reference's 40 GB guard,
     main.cpp:337-341). The v5 sweep engine is in-place on U[2], so its
     steady state is 2 levels (re-preparation transiently doubles that); the
-    v4 packed engines hold 4 ring levels plus the transient."""
+    v4 packed engines hold 4 ring levels plus the transient. t_fuse=1/2
+    forces the packed engines, so the sweep estimate must not apply."""
     from ..ops import stencil_sweep
 
     volp = int(np.prod(grid.padded_shape))
-    if method != "jnp" and stencil_sweep.supported(grid) and             stencil_sweep.pick_k_fuse(grid, 3) > 0:
+    sweep_eligible = (
+        method != "jnp"
+        and t_fuse not in (1, 2)
+        and stencil_sweep.supported(grid)
+        and stencil_sweep.pick_k_fuse(grid, 3 if t_fuse == 0 else t_fuse) >= 2
+    )
+    if sweep_eligible:
         return 4 * volp * 4 + (64 << 20)
     return 8 * volp * 4
 
@@ -74,7 +81,7 @@ def run_benchmark(
 
     for gs in grids:
         grid = Grid3D(gs, gs, gs)
-        need = state_bytes(grid, method)
+        need = state_bytes(grid, method, t_fuse)
         budget = peaks.hbm_gib * (1 << 30) * hbm_budget_frac
         if need > budget:
             if verbose:
@@ -104,8 +111,11 @@ def run_benchmark(
 
         try:
             sim = Simulator(grid, cfg, m, coords)
-        except Exception as e:  # keep sweeping (mirrors the skip behavior)
-            print(f"[skip] {gs}^3 failed to build: {type(e).__name__}: {e}")
+        except ValueError as e:
+            # expected eligibility rejection (explicit t_fuse/ring constraints)
+            # mirrors the reference's skip behavior; anything else is a real
+            # bug and must fail the sweep loudly
+            print(f"[skip] {gs}^3 ineligible: {e}")
             continue
         device_times, total_times = [], []
         # small grids: a 45-step span's device time sits below the tunnel's
@@ -122,8 +132,8 @@ def run_benchmark(
             # served from an execution cache on this stack, faking timings;
             # random fields keep every rep real (timing is IC-independent)
             rng = np.random.default_rng(rep)
-            ua = _zero_rims(rng.standard_normal(shape).astype(np.float32))
-            ub = _zero_rims(rng.standard_normal(shape).astype(np.float32))
+            ua = _zero_rims(rng.standard_normal(shape).astype(np.float32), grid.halo)
+            ub = _zero_rims(rng.standard_normal(shape).astype(np.float32), grid.halo)
             t0 = time.perf_counter()
             state = sim.prepare_state(ua, ub)
             state, secs = sim.run_timed(state, src, timing_repeat=q)

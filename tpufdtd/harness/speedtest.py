@@ -32,10 +32,11 @@ def run_speed_test(
             cfg = SimConfig(dt=0.001, nsteps=timesteps, backend=backend)
             sim = Simulator(grid, cfg, m, coords)
             rng = np.random.default_rng(0)
+            h = grid.halo
             ua = rng.standard_normal(shape).astype(np.float32)
-            ua[:4] = ua[-4:] = 0
-            ua[:, :4] = ua[:, -4:] = 0
-            ua[..., :4] = ua[..., -4:] = 0
+            ua[:h] = ua[-h:] = 0
+            ua[:, :h] = ua[:, -h:] = 0
+            ua[..., :h] = ua[..., -h:] = 0
             state = sim.prepare_state(ua, ua)
             state, secs = sim.run_timed(state, src)
             times.append(secs)

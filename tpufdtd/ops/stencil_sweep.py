@@ -535,12 +535,33 @@ def sweep_fused(
     ny = grid.ny
     px, py = (nxp - grid.nx) // 2, (nyp - ny) // 2
     z_embed = nz != grid.nz
-    assert 1 <= K <= max_k_fuse(grid, px, py), (K, px, py)
-    assert py >= 8 and py % 8 == 0, py
-    assert supported(grid)
-    assert nz == core_nz(grid), (nz, grid.nz)
-    if not interpret:
-        assert nz % 128 == 0, nz  # DMA lane-tile alignment
+    if not supported(grid):
+        raise ValueError(
+            f"sweep kernel needs ny % 8 == 0, order <= 4 and nx >= 2*radius;"
+            f" got ny={grid.ny}, order={grid.order}, nx={grid.nx}"
+        )
+    if not 1 <= K <= max_k_fuse(grid, px, py):
+        raise ValueError(
+            f"k_fuse={K} out of range for pad geometry px={px}, py={py}"
+            f" (supported: 1..{max_k_fuse(grid, px, py)}; stage-1's fetch"
+            f" frontier needs px >= K*radius)"
+        )
+    if py < 8 or py % 8 != 0:
+        raise ValueError(
+            f"y pad must be a positive multiple of 8 (sublane tile); got"
+            f" py={py} from U.shape[2]={nyp}, ny={ny}"
+        )
+    if nz != core_nz(grid):
+        raise ValueError(
+            f"U's z extent {nz} does not match the sweep core layout"
+            f" ({core_nz(grid)} for nz={grid.nz}); build U via"
+            f" ZSplitLayout(grid, z_embed={z_embedded(grid)})"
+        )
+    if not interpret and nz % 128 != 0:
+        raise ValueError(
+            f"compiled mode needs the core z extent lane-tile aligned"
+            f" (nz % 128 == 0); got {nz}"
+        )
 
     kern = functools.partial(
         _sweep_kernel, grid=grid, dt=dt, m_val=m_val, K=K, px=px, py=py,

@@ -173,8 +173,8 @@ class ZSplitEngine:
             if explicit:
                 raise ValueError(
                     "t_fuse>=3 (sweep kernel) requires uniform m, identical"
-                    " rims, ny % 8 == 0, nx >= 2*radius (and nz % 128 == 0"
-                    " in compiled mode)"
+                    " rims, ny % 8 == 0, order <= 4 (radius <= 2), and"
+                    " nx >= 2*radius"
                 )
             return
         k_req = 3 if cfg.t_fuse == 0 else cfg.t_fuse
@@ -184,7 +184,10 @@ class ZSplitEngine:
                 f"t_fuse={cfg.t_fuse} scratch exceeds the VMEM budget for"
                 f" this grid (fits K={k}); use t_fuse=0 for auto selection"
             )
-        if not k:
+        if k < 2:
+            # K=1 sweeping (possible when VMEM only fits one stage) loses to
+            # the packed engine AND trace-unrolls nsteps kernel calls; fall
+            # back (explicit t_fuse >= 3 already raised on the mismatch above)
             return
         if not explicit and not self._interpret and grid.nx < 48:
             # measured: at 32^3 the sweep's pipeline fill/drain (12-plane
@@ -197,6 +200,11 @@ class ZSplitEngine:
         ref_term = build_source_term(grid, self._coords, m_ref)
         s_core, s_zrim = split_source_term(ref_term, self.sweep_lay)
         if bool(np.any(s_zrim.scale != 0)):
+            if explicit:
+                raise ValueError(
+                    "t_fuse>=3 requires source trilinear corners clear of the"
+                    " z rim (move sources at least one cell off the z faces)"
+                )
             return
         cubes = injection_cubes_upto(grid, s_core, self.m_val, cfg.dt, kmax=k)
         all_cubes = [c for j in cubes for c in cubes[j]]
