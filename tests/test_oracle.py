@@ -70,7 +70,7 @@ def test_f32_oracle_close_to_f64_truth(small_grid):
     assert rel_l2(uc32, uc64) < 1e-4
 
 
-@pytest.mark.parametrize("order", [2, 6, 8])
+@pytest.mark.parametrize("order", [2, 6, 8, 10, 12])
 def test_other_orders_run_and_stay_finite(order):
     g = tf.Grid3D(12, 12, 12, hx=1.0, hy=1.0, hz=1.0, order=order)
     up0, uc0, m = make_correctness_ic(g)

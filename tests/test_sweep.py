@@ -173,7 +173,7 @@ def test_sweep_fallback_source_near_z_rim():
     assert rel_l2(got_cur, o_cur) < 2e-6
 
 
-@pytest.mark.parametrize("order", [2, 6, 8])
+@pytest.mark.parametrize("order", [2, 6, 8, 10, 12])
 def test_fast_ring_other_orders(order):
     """Fast-ring routing per stencil order: radius <= 2 uses the sweep,
     higher orders must fall back to the packed engines (the sweep's plane
@@ -182,9 +182,9 @@ def test_fast_ring_other_orders(order):
     up, uc = _fast_ic(g, seed=13)
     m = np.full(g.padded_shape, 1.5, np.float32)
     sim = Simulator(g, tf.SimConfig(dt=0.001, nsteps=4, backend="pallas"), m)
-    assert (sim.engine.sweep_k > 0) == (g.radius <= 2)
+    assert (getattr(sim.engine, "sweep_k", 0) > 0) == (g.radius <= 2)
     state = sim.prepare_state(up.copy(), uc.copy())
     state = sim.run(state, None, 4)
-    _, got = sim.extract_state(state)
+    got = sim.extract_state(state)[1]  # u_N (2- or 3-level ring)
     _, o = oracle_run(up.copy(), uc.copy(), m, g, 0.001, 4, dtype=np.float64)
     assert rel_l2(got, o) < 1e-5

@@ -50,6 +50,25 @@ _STENCIL_WEIGHTS = {
         np.float32(8.0 / 315.0),
         np.float32(-1.0 / 560.0),
     ),
+    # orders 10/12 complete the reference's STENCIL_ORDER macro range 4..12
+    # (main.cpp:26-29)
+    10: (
+        np.float32(-5269.0 / 1800.0),
+        np.float32(5.0 / 3.0),
+        np.float32(-5.0 / 21.0),
+        np.float32(5.0 / 126.0),
+        np.float32(-5.0 / 1008.0),
+        np.float32(1.0 / 3150.0),
+    ),
+    12: (
+        np.float32(-5369.0 / 1800.0),
+        np.float32(12.0 / 7.0),
+        np.float32(-15.0 / 56.0),
+        np.float32(10.0 / 189.0),
+        np.float32(-1.0 / 112.0),
+        np.float32(2.0 / 1925.0),
+        np.float32(-1.0 / 16632.0),
+    ),
 }
 
 # Source amplitude prefactor (cuda.cu:165, openacc.cpp:134).
