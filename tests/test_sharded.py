@@ -123,3 +123,122 @@ def test_sharded_pallas_backend_matches_oracle():
     ring_t = tf.oracle_run_ring(up0, uc0, m, g, 0.001, 8, dtype=np.float64)
     for mine, truth in zip(ring, ring_t):
         assert rel_l2(mine, truth) < 1e-4
+
+
+# ---- sharded v5 sweep engine (parallel/sharded_sweep.py) --------------------
+
+
+def _zero_rim_ic(g, seed=3):
+    rng = np.random.default_rng(seed)
+    h = g.halo
+    out = []
+    for _ in range(2):
+        a = rng.standard_normal(g.padded_shape).astype(np.float32)
+        a[:h] = a[-h:] = 0
+        a[:, :h] = a[:, -h:] = 0
+        a[..., :h] = a[..., -h:] = 0
+        out.append(a)
+    return out
+
+
+def test_sharded_sweep_engages_and_matches_oracle():
+    g = tf.Grid3D(32, 16, 16, hx=1.0, hy=1.0, hz=1.0)
+    up, uc = _zero_rim_ic(g)
+    m = np.full(g.padded_shape, 1.5, np.float32)
+    mesh = make_mesh(4)
+    cfg = tf.SimConfig(dt=0.001, nsteps=9, backend="pallas")
+    sim = ShardedSimulator(g, cfg, m, mesh)
+    assert sim.sweep is not None and sim.sweep.K == 3
+    state, m_sh, packed = sim.prepare(up.copy(), uc.copy(), m)
+    assert isinstance(state, dict)
+    state = sim.run(state, m_sh, packed, None, 9)
+    _, C = sim.extract_state(state)
+    _, oC = tf.oracle_run(up.copy(), uc.copy(), m, g, 0.001, 9, dtype=np.float64)
+    assert rel_l2(C, oC) < 1e-5
+
+
+def test_sharded_sweep_bitwise_matches_single_chip():
+    """The sharded sweep's redundant-margin scheme feeds every plane the
+    same f32 inputs as the single-chip sweep, so results are bit-equal."""
+    g = tf.Grid3D(32, 16, 16, hx=1.0, hy=1.0, hz=1.0)
+    _, uc0, m = make_correctness_ic(g)
+    up0 = uc0.copy()
+    cfg = tf.SimConfig(dt=0.001, nsteps=9, backend="pallas")
+    sim = ShardedSimulator(g, cfg, m, make_mesh(4))
+    assert sim.sweep is not None
+    st, ms, pk = sim.prepare(up0.copy(), uc0.copy(), m)
+    st = sim.run(st, ms, pk, None, 9)
+    _, C = sim.extract_state(st)
+    s1 = tf.Simulator(g, cfg, m)
+    assert s1.engine.sweep_k == 3
+    st1 = s1.prepare_state(up0.copy(), uc0.copy())
+    st1 = s1.run(st1, None, 9)
+    _, C1 = s1.extract_state(st1)
+    assert np.array_equal(C, C1)
+
+
+def test_sharded_sweep_frozen_global_rim_bitexact():
+    g = tf.Grid3D(32, 16, 16, hx=1.0, hy=1.0, hz=1.0)
+    _, uc0, m = make_correctness_ic(g)
+    up0 = uc0.copy()
+    h = g.halo
+    cfg = tf.SimConfig(dt=0.001, nsteps=6, backend="pallas")
+    sim = ShardedSimulator(g, cfg, m, make_mesh(4))
+    assert sim.sweep is not None
+    st, ms, pk = sim.prepare(up0, uc0, m)
+    st = sim.run(st, ms, pk, None, 6)
+    _, C = sim.extract_state(st)
+    assert np.array_equal(C[:h], uc0[:h])
+    assert np.array_equal(C[-h:], uc0[-h:])
+    assert np.array_equal(C[:, :h], uc0[:, :h])
+    assert np.array_equal(C[..., -h:], uc0[..., -h:])
+
+
+def test_sharded_sweep_straddling_source_and_remainders():
+    """Source whose correction cubes straddle a shard cut, nsteps with both
+    a rem=2 block and a rem=1 single step."""
+    g = tf.Grid3D(32, 16, 16, hx=1.0, hy=1.0, hz=1.0)
+    u0 = np.zeros(g.padded_shape, np.float32)
+    m = np.full(g.padded_shape, 1.5, np.float32)
+    coords = np.array([[7.5, 8.0, 8.0], [16.2, 7.7, 9.1]], np.float32)
+    for nsteps in (11, 10):  # 3 K=3 blocks + rem 2 / + rem 1
+        src = tf.ricker_table(nsteps, 2, 0.001)
+        cfg = tf.SimConfig(dt=0.001, nsteps=nsteps, backend="pallas")
+        sim = ShardedSimulator(g, cfg, m, make_mesh(4), src_coords=coords)
+        assert sim.sweep is not None
+        st, ms, pk = sim.prepare(u0, u0, m)
+        st = sim.run(st, ms, pk, src, nsteps)
+        P, C = sim.extract_state(st)
+        oP, oC = tf.oracle_run(u0, u0, m, g, 0.001, nsteps, src=src,
+                               src_coords=coords, dtype=np.float64)
+        assert np.abs(C).max() > 0
+        assert rel_l2(C, oC) < 1e-5
+        assert rel_l2(P, oP) < 1e-5
+
+
+def test_sharded_sweep_fallback_when_ineligible():
+    """nxl < K*R (no room for the deep halo) or non-identical rims fall back
+    to the per-step program and still match the oracle."""
+    g = tf.Grid3D(8, 8, 8, hx=1.0, hy=1.0, hz=1.0)  # nxl=2 < 2*R*K for any K
+    up0, uc0, m = make_correctness_ic(g)
+    cfg = tf.SimConfig(dt=0.001, nsteps=6, backend="pallas")
+    sim = ShardedSimulator(g, cfg, m, make_mesh(4))
+    assert sim.sweep is None
+    # nxl=4 degrades the fusion depth to K=2 rather than falling back
+    g1 = tf.Grid3D(16, 8, 8, hx=1.0, hy=1.0, hz=1.0)
+    up1, uc1, m1 = make_correctness_ic(g1)
+    sim1 = ShardedSimulator(g1, cfg, m1, make_mesh(4))
+    assert sim1.sweep is not None and sim1.sweep.K == 2
+    st, ms, pk = sim1.prepare(uc1.copy(), uc1.copy(), m1)
+    st = sim1.run(st, ms, pk, None, 6)
+    _, C = sim1.extract_state(st)
+    _, oC = tf.oracle_run(uc1.copy(), uc1.copy(), m1, g1, 0.001, 6,
+                          dtype=np.float64)
+    assert rel_l2(C, oC) < 1e-5
+    # eligible grid but per-level rims differ -> per-step state at prepare
+    g2 = tf.Grid3D(32, 16, 16, hx=1.0, hy=1.0, hz=1.0)
+    up2, uc2, m2 = make_correctness_ic(g2)  # up2 rims (zeros) != uc2 rims
+    sim2 = ShardedSimulator(g2, cfg, m2, make_mesh(4))
+    assert sim2.sweep is not None
+    state, _, _ = sim2.prepare(up2, uc2, m2)
+    assert not isinstance(state, dict)

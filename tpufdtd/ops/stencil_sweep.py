@@ -275,9 +275,18 @@ def _sweep_kernel(
     cur: int,
     use_roll: bool = True,
     z_embed: bool = False,
+    frozen_lo: int = 0,
+    frozen_hi: int = 0,
 ):
+    """frozen_lo/frozen_hi: interior planes [0, frozen_lo) and
+    [nx - frozen_hi, nx) are treated as frozen (copied through every stage,
+    never leap-updated). Used by the sharded sweep for edge shards whose
+    extended-interior margin overlays the global frozen x rim — the margin
+    must stay bit-frozen through all K stages or stage reads near the true
+    interior edge would see leap-updated rim values (parallel/sharded.py)."""
     R = grid.radius
     nx, ny, nz = grid.nx, grid.ny, grid.nz
+    fl, fh = frozen_lo, frozen_hi
     nyp = ny + 2 * py
     leap = _make_leap(grid, dt, m_val, use_roll=use_roll, z_embed=z_embed)
     n_iter = nx + 2 * R * (K - 1)
@@ -341,12 +350,20 @@ def _sweep_kernel(
     # body carries no predication at all. The ragged prologue/epilogue run
     # with PYTHON-int t, so their guards resolve at trace time too — the
     # compiled kernel contains zero branches.
+    # frozen margins must resolve statically, so their iterations are pushed
+    # into the ragged head/tail: the last lo-margin guard fires at
+    # t = fl - 1 + 2R(K-1) (stage K at js = fl - 1), the first hi-margin one
+    # at t = nx - fh + (K-1)R (stage 1 at js = nx - fh).
     if K == 1:
-        steady_lo = OUT_RING
-        steady_hi = min(n_cur - n_pro_cur, nx - FETCH_LEAD)
+        steady_lo = max(OUT_RING, fl)
+        steady_hi = min(n_cur - n_pro_cur, nx - FETCH_LEAD, nx - fh)
     else:
-        steady_lo = 2 * R * (K - 1) + OUT_RING
-        steady_hi = min(n_cur - n_pro_cur, nx + (K - 1) * R - FETCH_LEAD)
+        steady_lo = max(2 * R * (K - 1) + OUT_RING, fl + 2 * R * (K - 1))
+        steady_hi = min(
+            n_cur - n_pro_cur,
+            nx + (K - 1) * R - FETCH_LEAD,
+            nx - fh + (K - 1) * R,
+        )
     steady_lo = max(0, steady_lo)
     steady_hi = max(steady_lo, steady_hi)
 
@@ -365,7 +382,9 @@ def _sweep_kernel(
             fetch_prev(
                 px + j + FETCH_LEAD, (px + j0 + k + FETCH_LEAD) % PREV_RING
             ).start()
-        if cond(None, "in1"):
+        # the wait must stay balanced with prev_issue even at frozen margin
+        # planes (which skip the leap), or ring-slot semaphores drift
+        if cond(None, "prev_wait"):
             fetch_prev(px + j, (px + j0 + k) % PREV_RING).wait()
 
         def cur_at(d: int):  # cur plane at X1 + d, static slot
@@ -382,11 +401,15 @@ def _sweep_kernel(
                 pv = prev_ring[(px + j0 + k) % PREV_RING]
                 zrT1 = None if z_embed else zrT_ref[X1]
                 upd = leap(planes1, pv[py : py + ny, :], zrT1, py, ny)
-                if cond(None, "out_wait1"):
-                    write_out(0, o_slot, X1).wait()
-                out_ring[0, o_slot] = upd
-                # u_next overwrites the prev level (2-buffer leapfrog ring)
-                write_out(0, o_slot, X1).start()
+            else:
+                # frozen margin plane: rims are identical across levels, so
+                # writing the cur value into the prev level is a no-op value-wise
+                upd = cy1[py : py + ny, :]
+            if cond(None, "out_wait1"):
+                write_out(0, o_slot, X1).wait()
+            out_ring[0, o_slot] = upd
+            # u_next overwrites the prev level (2-buffer leapfrog ring)
+            write_out(0, o_slot, X1).start()
             return
 
         # Fused stages. Every stage computes ONLY the ny interior rows: the
@@ -433,12 +456,16 @@ def _sweep_kernel(
                 if cond(None, "out_wait", st):
                     write_out(0, o_slot, px).wait()
                     write_out(1, o_slot, px).wait()
-                if st == 2:
-                    pvs = cur_ring[(px + j0 + k - R) % CUR_RING]
+                if cond(None, "in", st):
+                    if st == 2:
+                        pvs = cur_ring[(px + j0 + k - R) % CUR_RING]
+                    else:
+                        pvs = stage_ring[st - 3, ks]
+                    zrTs = None if z_embed else zrT_ref[Xs]
+                    upd = leap(planes, pvs[py : py + ny, :], zrTs, py, ny)
                 else:
-                    pvs = stage_ring[st - 3, ks]
-                zrTs = None if z_embed else zrT_ref[Xs]
-                upd = leap(planes, pvs[py : py + ny, :], zrTs, py, ny)
+                    # frozen margin plane: pass the cur value through
+                    upd = cyS[py : py + ny, :]
                 out_ring[1, o_slot] = upd
                 # u_{n+K-1} = stage K-1's plane Xs, interior rows
                 out_ring[0, o_slot] = stage_ring[st - 2, ks][py : py + ny, :]
@@ -454,8 +481,10 @@ def _sweep_kernel(
                 return q_cur0 + 2 * R + t <= q_cur_last
             if site == "prev_issue":
                 return n_pro_prev <= j + FETCH_LEAD < nx
-            if site == "in1":
+            if site == "prev_wait":
                 return 0 <= j < nx
+            if site == "in1":
+                return fl <= j < nx - fh
             if site == "pad1":
                 return j < nx + (K - 1) * R
             if site == "out_wait1":
@@ -465,7 +494,7 @@ def _sweep_kernel(
             if site == "run":
                 return lo <= js < nx - lo
             if site == "in":
-                return 0 <= js < nx
+                return fl <= js < nx - fh
             if site == "out_wait":
                 return js >= OUT_RING
             raise AssertionError(site)
@@ -506,7 +535,8 @@ def _sweep_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "grid", "dt", "m_val", "k_fuse", "cur", "interpret", "vmem_limit"
+        "grid", "dt", "m_val", "k_fuse", "cur", "interpret", "vmem_limit",
+        "frozen_lo", "frozen_hi",
     ),
 )
 def sweep_fused(
@@ -520,6 +550,8 @@ def sweep_fused(
     cur: int = 1,
     interpret: bool = False,
     vmem_limit: int = 130 * 1024 * 1024,
+    frozen_lo: int = 0,
+    frozen_hi: int = 0,
 ) -> jnp.ndarray:
     """K fused in-place leapfrog steps on packed U[2] = [u_{n-1}, u_n]
     (sweep-layout cores); returns U holding [u_{n+K-1}, u_{n+K}].
@@ -529,6 +561,9 @@ def sweep_fused(
     in level 1-cur (roles flip each call, like packed_step).
 
     zrimT: transposed frozen z rim [nxp, 2h, nyp] (see module docstring).
+
+    frozen_lo/frozen_hi freeze the first/last interior planes (copied, never
+    leap-updated) — the edge-shard margins of the sharded sweep.
     """
     K = k_fuse
     nxp, nyp, nz = U.shape[1], U.shape[2], U.shape[3]
@@ -562,10 +597,16 @@ def sweep_fused(
             f"compiled mode needs the core z extent lane-tile aligned"
             f" (nz % 128 == 0); got {nz}"
         )
+    if frozen_lo < 0 or frozen_hi < 0 or frozen_lo + frozen_hi > grid.nx:
+        raise ValueError(
+            f"frozen margins out of range: {frozen_lo}+{frozen_hi} vs"
+            f" nx={grid.nx}"
+        )
 
     kern = functools.partial(
         _sweep_kernel, grid=grid, dt=dt, m_val=m_val, K=K, px=px, py=py,
         cur=cur, use_roll=not interpret, z_embed=z_embed,
+        frozen_lo=frozen_lo, frozen_hi=frozen_hi,
     )
     scratch = [
         pltpu.VMEM((CUR_RING, nyp, nz), jnp.float32),

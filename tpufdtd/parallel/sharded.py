@@ -121,6 +121,14 @@ class ShardedSimulator:
         self.R = grid.radius
         self.lnx = self.lgrid.nx
 
+        # flagship path: temporally-fused sweep kernel per shard with a deep
+        # halo exchange once per K steps (sharded_sweep.SweepShard); engaged
+        # at prepare() time when the ICs satisfy the identical-rims fast-ring
+        # requirement, else the per-step program below runs.
+        from .sharded_sweep import SweepShard
+
+        self.sweep = SweepShard.try_build(grid, cfg, m, mesh, src_coords)
+
         if cfg.backend == "pallas":
             # per-shard Pallas leapfrog (interpret mode off-TPU); the halo
             # exchange stays in XLA collectives around the kernel call. The
@@ -289,11 +297,29 @@ class ShardedSimulator:
         sh = NamedSharding(self.mesh, P(self.axis))
         return jax.device_put(jnp.asarray(stacked, jnp.float32), sh)
 
+    @staticmethod
+    def _rims_identical(arrs, h) -> bool:
+        a0 = arrs[0]
+        rims = lambda a: (
+            a[:h], a[-h:], a[:, :h], a[:, -h:], a[..., :h], a[..., -h:]
+        )
+        r0 = rims(a0)
+        return all(
+            all(np.array_equal(x, y) for x, y in zip(rims(a), r0))
+            for a in arrs[1:]
+        )
+
     def prepare(self, u_prev, u_cur, m, u_target=None):
+        ut = np.asarray(u_cur if u_target is None else u_target)
+        if self.sweep is not None and self._rims_identical(
+            [np.asarray(u_prev), np.asarray(u_cur), ut], self.h
+        ):
+            U, zrT = self.sweep.prepare(np.asarray(u_prev), np.asarray(u_cur))
+            return {"sweep": (U, zrT)}, None, None
         state = (
             self._shard(u_prev),
             self._shard(u_cur),
-            self._shard(u_cur if u_target is None else u_target),
+            self._shard(ut),
         )
         m_sh = self._shard(m)
         packed = None
@@ -305,12 +331,21 @@ class ShardedSimulator:
         return state, m_sh, packed
 
     def run(self, state, m_sh, packed, src: Optional[np.ndarray], nsteps: int):
+        if isinstance(state, dict):
+            U, zrT = state["sweep"]
+            U = self.sweep.run(U, zrT, src, nsteps)
+            return {"sweep": (U, zrT)}
         if src is None or packed is None:
             return self._program_plain(state, m_sh, nsteps)
         src_table = jnp.asarray(src[:nsteps], jnp.float32)
         return self._program_src(state, m_sh, packed, src_table, nsteps)
 
-    def extract_state(self, state) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def extract_state(self, state):
+        """Global reference-layout levels: (u_{N-1}, u_N, u_{N-2}) from the
+        exact per-step ring, (u_{N-1}, u_N) from the 2-buffer sweep ring."""
+        if isinstance(state, dict):
+            U, zrT = state["sweep"]
+            return self.sweep.extract(U, zrT)
         out = []
         for x in state:
             x = np.asarray(x)

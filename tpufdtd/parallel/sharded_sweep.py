@@ -1,0 +1,393 @@
+"""Sharded v5 sweep engine: temporally-fused plane sweeps per shard with a
+deep halo exchange once per K-step block.
+
+This is the multi-chip form of the flagship sweep kernel
+(ops/stencil_sweep.py), replacing the per-step jnp/v2 sharded stepper for
+large grids (the capability axis the reference lacks entirely — it skips
+grids over one GPU's memory, main.cpp:337-341).
+
+Design (TPU-native temporal blocking across the mesh):
+
+  * The global x axis is split over a 1-D mesh; each shard's working block is
+    its nx/ndev interior planes EXTENDED by M = (K-1)*R redundant planes per
+    side, plus px >= K*R pad planes.
+  * One `lax.ppermute` per K-step fused block exchanges D = K*R planes of
+    both packed U levels per direction — 3x fewer collectives than per-step
+    halo exchange, and the fused kernel keeps its 4/3-HBM-passes-per-step
+    efficiency unchanged.
+  * Each shard runs the ordinary sweep kernel on its extended block. Values
+    within R*s of the extended edge are garbage after stage s (they read
+    stage pads), but the corruption never reaches deeper than M planes — the
+    true interior is exact, and the garbage margins are overwritten by the
+    next exchange.
+  * Edge shards' margins overlay the global frozen x rim; recomputing them
+    would poison inner stages, so the kernel freezes them statically
+    (frozen_lo/frozen_hi) — selected per shard with a 3-way `lax.switch`
+    on `axis_index` (left edge / interior / right edge).
+  * Sources are exact for ANY position (including shard-straddling): corner
+    deposits and the fusion propagation cubes (sources.injection_cubes_upto)
+    are flattened on the host into per-shard (ix,iy,iz,val,j,p) entry lists,
+    padded to a uniform count, and applied post-block as two scatter-adds
+    with step rows kk-j (level 1) and kk-1-j (level 0) — the same
+    superposition algebra as the single-chip _sw_correct.
+
+Why M <= halo: an edge shard's frozen margin planes are global pad planes,
+which exist (and hold the frozen rim values) only halo deep — this caps the
+sharded fusion depth at K <= halo/R + 1 = 3 for order 4.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Grid3D, SimConfig
+from ..layout import ZSplitLayout
+from ..sources import build_source_term, injection_cubes_upto
+
+
+def _cubes_fit_global(cubes_by_j, grid: Grid3D) -> bool:
+    """Every correction cube must sit fully inside the GLOBAL interior
+    (reference padded coords [h, h+n) per axis) — a cube poking into the
+    frozen rim means the open-grid propagation it encodes is wrong there."""
+    h = grid.halo
+    n = (grid.nx, grid.ny, grid.nz)
+    for lst in cubes_by_j.values():
+        for sl, _cube, _p in lst:
+            for ax in range(3):
+                if sl[ax].start < h or sl[ax].stop > h + n[ax]:
+                    return False
+    return True
+
+
+class SweepShard:
+    """Sharded sweep program for one (grid, cfg, mesh, sources) combination.
+
+    Built via `try_build` (returns None when ineligible); ShardedSimulator
+    owns the instance and routes prepare/run/extract through it when the
+    initial conditions satisfy the fast-ring (identical rims) requirement.
+    """
+
+    @staticmethod
+    def try_build(
+        grid: Grid3D,
+        cfg: SimConfig,
+        m_ref: np.ndarray,
+        mesh: Mesh,
+        src_coords: Optional[np.ndarray],
+    ) -> Optional["SweepShard"]:
+        from ..ops import stencil_sweep
+
+        if cfg.backend != "pallas" or cfg.t_fuse in (1, 2):
+            return None
+        if cfg.ring not in ("auto", "fast"):
+            return None
+        if cfg.storage_dtype != "float32":
+            return None
+        m_np = np.asarray(m_ref, np.float32)
+        uniform = cfg.assume_uniform_m
+        if uniform is None:
+            uniform = bool(np.all(m_np == m_np.flat[0]))
+        if not uniform:
+            return None
+        ndev = mesh.devices.size
+        if grid.nx % ndev != 0:
+            return None
+        nxl = grid.nx // ndev
+        R, h = grid.radius, grid.halo
+        if grid.radius > 2 or grid.ny % 8 != 0:
+            return None
+        want = 3 if cfg.t_fuse == 0 else min(cfg.t_fuse, 3)
+        k_sel = 0
+        for k in range(want, 1, -1):
+            if nxl < k * R or (k - 1) * R > h:
+                continue
+            ge = dataclasses.replace(grid, nx=nxl + 2 * (k - 1) * R)
+            px = max(h, k * R)
+            if (
+                k <= stencil_sweep.max_k_fuse(ge, px)
+                and stencil_sweep.vmem_bytes(ge, k, px)
+                <= stencil_sweep.VMEM_BUDGET
+            ):
+                k_sel = k
+                break
+        if k_sel < 2:
+            return None
+
+        m_val = float(m_np.flat[0])
+        entries = None
+        if src_coords is not None and np.asarray(src_coords).size:
+            ref_term = build_source_term(grid, src_coords, m_np)
+            cubes = injection_cubes_upto(grid, ref_term, m_val, cfg.dt,
+                                         kmax=k_sel)
+            if not _cubes_fit_global(cubes, grid):
+                return None
+            entries = SweepShard._flatten_entries(grid, ref_term, cubes)
+        return SweepShard(grid, cfg, mesh, k_sel, m_val, entries,
+                          nsrc=0 if src_coords is None
+                          else int(np.asarray(src_coords).shape[0]))
+
+    @staticmethod
+    def _flatten_entries(grid: Grid3D, ref_term, cubes_by_j):
+        """(gx, gy, gz, val, j, p) rows in reference padded coords: corner
+        deposits as j=1, cube cells as their fusion power j."""
+        rows = []
+        for c in range(ref_term.ix.shape[0]):
+            if ref_term.scale[c] == 0:
+                continue
+            rows.append((int(ref_term.ix[c]), int(ref_term.iy[c]),
+                         int(ref_term.iz[c]), float(ref_term.scale[c]), 1,
+                         int(ref_term.src_idx[c])))
+        for j, lst in cubes_by_j.items():
+            for sl, cube, p in lst:
+                nzi = np.nonzero(cube)
+                for a, b, c_ in zip(*nzi):
+                    rows.append((sl[0].start + int(a), sl[1].start + int(b),
+                                 sl[2].start + int(c_), float(cube[a, b, c_]),
+                                 int(j), int(p)))
+        return rows
+
+    def __init__(self, grid, cfg, mesh, K, m_val, entries, nsrc):
+        from ..ops import stencil_sweep
+
+        self.grid = grid
+        self.cfg = cfg
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.ndev = mesh.devices.size
+        self.K = K
+        self.R = grid.radius
+        self.h = grid.halo
+        self.M = (K - 1) * self.R
+        self.nxl = grid.nx // self.ndev
+        self.m_val = m_val
+        self.nsrc = nsrc
+        self._sweep = stencil_sweep
+        self._interpret = jax.default_backend() != "tpu"
+
+        self.lgrid = dataclasses.replace(grid, nx=self.nxl + 2 * self.M)
+        ze = stencil_sweep.z_embedded(grid)
+        self.lay = ZSplitLayout(
+            self.lgrid, py=8, xpad=max(self.h, K * self.R), z_embed=ze
+        )
+        self.packed_entries = self._distribute_entries(entries)
+        self._build_program()
+
+    # ---- host-side data movement -------------------------------------------
+
+    def _distribute_entries(self, rows):
+        """Global entry rows -> per-shard local-core-coordinate arrays,
+        padded to a uniform count (val=0 padding rows scatter nothing)."""
+        if not rows:
+            return None
+        h, M, px, py = self.h, self.M, self.lay.px, self.lay.py
+        ze = self.lay.z_embed
+        per = [[] for _ in range(self.ndev)]
+        for gx, gy, gz, val, j, p in rows:
+            d = min(max((gx - h) // self.nxl, 0), self.ndev - 1)
+            lx = px + M + (gx - h - d * self.nxl)
+            ly = py + (gy - h)
+            lz = gz if ze else gz - h
+            per[d].append((lx, ly, lz, val, j, p))
+        E = max(len(x) for x in per)
+        out = np.zeros((self.ndev, E, 6), np.float64)
+        for d, lst in enumerate(per):
+            for i, row in enumerate(lst):
+                out[d, i] = row
+        sh = NamedSharding(self.mesh, P(self.axis))
+        put = lambda a, dt: jax.device_put(jnp.asarray(a, dt), sh)
+        return (
+            put(out[:, :, 0], jnp.int32),
+            put(out[:, :, 1], jnp.int32),
+            put(out[:, :, 2], jnp.int32),
+            put(out[:, :, 3], jnp.float32),
+            put(out[:, :, 4], jnp.int32),
+            put(out[:, :, 5], jnp.int32),
+        )
+
+    def _local_slabs(self, arr_ref: np.ndarray) -> list:
+        """Global reference array -> per-shard extended local reference
+        slabs [nxl + 2M + 2h, nyp, nzp] (out-of-global planes zero: they are
+        never read into true-interior results)."""
+        arr_ref = np.asarray(arr_ref)
+        nxl, M, h = self.nxl, self.M, self.h
+        w = nxl + 2 * M + 2 * h
+        slabs = []
+        for d in range(self.ndev):
+            sx0 = d * nxl - M  # reference index of slab plane 0
+            slab = np.zeros((w,) + arr_ref.shape[1:], arr_ref.dtype)
+            lo = max(0, sx0)
+            hi = min(arr_ref.shape[0], sx0 + w)
+            slab[lo - sx0 : hi - sx0] = arr_ref[lo:hi]
+            slabs.append(slab)
+        return slabs
+
+    def prepare(self, u_prev: np.ndarray, u_cur: np.ndarray):
+        """(device U [2, ndev*nxp_l, nyp, nzc], device zrT) from global
+        reference-layout levels with identical rims."""
+        cores_p, cores_c, zrts = [], [], []
+        for sp, sc in zip(self._local_slabs(u_prev), self._local_slabs(u_cur)):
+            p_core, p_zrim = self.lay.split(sp)
+            c_core, _ = self.lay.split(sc)
+            cores_p.append(p_core)
+            cores_c.append(c_core)
+            zrts.append(
+                p_zrim if self.lay.z_embed
+                else self._sweep.transpose_zrim(p_zrim)
+            )
+        U = np.stack([np.concatenate(cores_p), np.concatenate(cores_c)])
+        zrT = np.concatenate(zrts)
+        shU = NamedSharding(self.mesh, P(None, self.axis))
+        shz = NamedSharding(self.mesh, P(self.axis))
+        return (
+            jax.device_put(jnp.asarray(U, jnp.float32), shU),
+            jax.device_put(jnp.asarray(zrT, jnp.float32), shz),
+        )
+
+    def extract(self, U, zrT) -> Tuple[np.ndarray, np.ndarray]:
+        """Device state -> global reference-layout (u_{N-1}, u_N)."""
+        U = np.asarray(U)
+        zrT = np.asarray(zrT)
+        nxp_l = self.lay.core_shape[0]
+        g, h, M, nxl = self.grid, self.h, self.M, self.nxl
+        outs = []
+        for lvl in range(2):
+            parts = []
+            for d in range(self.ndev):
+                core = U[lvl, d * nxp_l : (d + 1) * nxp_l]
+                zr = zrT[d * nxp_l : (d + 1) * nxp_l]
+                if not self.lay.z_embed:
+                    zr = self._sweep.untranspose_zrim(zr)
+                slab = self.lay.join(core, zr)
+                if d == 0:
+                    parts.append(slab[M : M + h])  # global lo x rim
+                parts.append(slab[M + h : M + h + nxl])
+                if d == self.ndev - 1:
+                    parts.append(slab[M + h + nxl : M + 2 * h + nxl])
+            outs.append(np.concatenate(parts))
+        return outs[0], outs[1]
+
+    # ---- device program ------------------------------------------------------
+
+    def _build_program(self):
+        K, M, R = self.K, self.M, self.R
+        D = K * R
+        px = self.lay.px
+        nxk = self.lgrid.nx
+        ax = self.axis
+        n = self.ndev
+        ge = self.lgrid
+        dtv = self.cfg.dt
+        m_val = self.m_val
+        interp = self._interpret
+        sweep_fused = self._sweep.sweep_fused
+
+        def exchange(U):
+            if n == 1:
+                return U
+            send_left = U[:, px + M : px + M + D]
+            send_right = U[:, px + nxk - M - D : px + nxk - M]
+            from_left = jax.lax.ppermute(
+                send_right, ax, [(i, i + 1) for i in range(n - 1)]
+            )
+            from_right = jax.lax.ppermute(
+                send_left, ax, [(i + 1, i) for i in range(n - 1)]
+            )
+            idx = jax.lax.axis_index(ax)
+            # edge shards keep their frozen rim + margin (ppermute delivers
+            # zeros to unpaired receivers)
+            lo = jnp.where(idx == 0, U[:, px - R : px - R + D], from_left)
+            hi = jnp.where(
+                idx == n - 1, U[:, px + nxk - M : px + nxk - M + D], from_right
+            )
+            U = U.at[:, px - R : px - R + D].set(lo)
+            U = U.at[:, px + nxk - M : px + nxk - M + D].set(hi)
+            return U
+
+        def kern(U, zrT, kk, cur=1):
+            def mk(flo, fhi):
+                return lambda u: sweep_fused(
+                    u, zrT, grid=ge, dt=dtv, m_val=m_val, k_fuse=kk, cur=cur,
+                    interpret=interp, frozen_lo=flo, frozen_hi=fhi,
+                )
+
+            if n == 1:
+                return mk(M, M)(U)
+            idx = jax.lax.axis_index(ax)
+            case = jnp.where(idx == 0, 1, jnp.where(idx == n - 1, 2, 0))
+            return jax.lax.switch(case, [mk(0, 0), mk(M, 0), mk(0, M)], U)
+
+        def correct(U, ent, s_blk, kk):
+            """Post-block source superposition (matches the single-chip
+            _sw_correct): level 1 gets row kk-j per entry, level 0 row
+            kk-1-j (entries with j out of range masked to zero)."""
+            lix, liy, liz, val, jj, pp = ent
+            v1 = val * s_blk[jnp.clip(kk - jj, 0), pp] * (jj <= kk)
+            U = U.at[1, lix, liy, liz].add(v1, mode="drop")
+            v0 = val * s_blk[jnp.clip(kk - 1 - jj, 0), pp] * (jj <= kk - 1)
+            U = U.at[0, lix, liy, liz].add(v0, mode="drop")
+            return U
+
+        def local(U, zrT, ent, srct, nsteps):
+            if ent is not None:
+                ent = tuple(a[0] for a in ent)  # drop the shard dim
+            have_src = srct is not None and ent is not None
+            nb, rem = divmod(nsteps, K)
+
+            def block(U, s_blk, kk):
+                U = exchange(U)
+                U = kern(U, zrT, kk)
+                if have_src:
+                    U = correct(U, ent, s_blk, kk)
+                return U
+
+            if nb:
+                if have_src:
+                    xs = srct[: nb * K].reshape(nb, K, -1)
+                    U, _ = jax.lax.scan(
+                        lambda u, s: (block(u, s, K), None), U, xs
+                    )
+                else:
+                    U, _ = jax.lax.scan(
+                        lambda u, _x: (block(u, None, K), None),
+                        U, None, length=nb,
+                    )
+            if rem >= 2:
+                U = block(U, srct[nb * K :] if have_src else None, rem)
+            elif rem == 1:
+                U = exchange(U)
+                U = kern(U, zrT, 1, cur=1)
+                U = U[::-1]  # K=1 writes into level 0; restore (prev, cur)
+                if have_src:
+                    U = correct(U, ent, srct[nb * K :], 1)
+            return U
+
+        spec_U = P(None, ax)
+        spec_z = P(ax)
+
+        def program(U, zrT, ent, srct, nsteps):
+            specs_ent = None if ent is None else tuple(P(ax) for _ in ent)
+            f = jax.shard_map(
+                lambda u, z, e, s: local(u, z, e, s, nsteps),
+                mesh=self.mesh,
+                in_specs=(spec_U, spec_z, specs_ent,
+                          None if srct is None else P()),
+                out_specs=spec_U,
+                check_vma=False,
+            )
+            return f(U, zrT, ent, srct)
+
+        self._program = jax.jit(
+            program, static_argnames=("nsteps",), donate_argnums=(0,)
+        )
+
+    def run(self, U, zrT, src: Optional[np.ndarray], nsteps: int):
+        srct = None
+        if src is not None and self.packed_entries is not None:
+            srct = jnp.asarray(np.asarray(src)[:nsteps], jnp.float32)
+        return self._program(U, zrT, self.packed_entries, srct, nsteps)
