@@ -188,3 +188,80 @@ def test_fast_ring_other_orders(order):
     got = sim.extract_state(state)[1]  # u_N (2- or 3-level ring)
     _, o = oracle_run(up.copy(), uc.copy(), m, g, 0.001, 4, dtype=np.float64)
     assert rel_l2(got, o) < 1e-5
+
+
+# ---- bf16 storage (bf16 HBM / f32 VMEM compute) ---------------------------
+
+
+def _run_bf16(grid, nsteps, coords=None, seed=0):
+    up, uc = _fast_ic(grid, seed)
+    m = np.full(grid.padded_shape, 1.5, np.float32)
+    cfg = tf.SimConfig(dt=0.001, nsteps=nsteps, backend="pallas",
+                       storage_dtype="bfloat16")
+    src = (tf.ricker_table(nsteps, coords.shape[0], cfg.dt)
+           if coords is not None else None)
+    sim = Simulator(grid, cfg, m, coords)
+    assert sim.engine.sweep_k == 3, sim.engine.sweep_k
+    assert sim.engine.sweep_lay.py == 16
+    state = sim.prepare_state(up.copy(), uc.copy())
+    key = next(iter(state))
+    assert key.startswith("sweep")
+    import jax.numpy as jnp
+    assert state[key][0].dtype == jnp.bfloat16
+    assert state[key][1].dtype == jnp.float32  # z rim stays f32
+    state = sim.run(state, src, nsteps)
+    got_prev, got_cur = sim.extract_state(state)
+    assert got_cur.dtype == np.float32
+    o_prev, o_cur = oracle_run(up.copy(), uc.copy(), m, grid, cfg.dt, nsteps,
+                               src=src, src_coords=coords, dtype=np.float64)
+    assert rel_l2(got_cur, o_cur) < 4e-2, rel_l2(got_cur, o_cur)
+    return up, uc, got_prev, got_cur
+
+
+def test_sweep_bf16_vs_oracle():
+    g = tf.Grid3D(12, 16, 32, hx=1.0, hy=1.0, hz=1.0)
+    _run_bf16(g, 7)
+
+
+def test_sweep_bf16_with_source():
+    g = tf.Grid3D(16, 16, 32, hx=1.0, hy=1.0, hz=1.0)
+    coords = np.array([[8.0, 8.0, 16.0]], np.float32)
+    _run_bf16(g, 7, coords=coords)
+
+
+def test_sweep_bf16_zrt_mode_nz128():
+    g = tf.Grid3D(12, 16, 128, hx=1.0, hy=1.0, hz=1.0)
+    _run_bf16(g, 6, seed=3)
+
+
+def test_sweep_bf16_rims_frozen():
+    """Rims stay bit-frozen at their bf16-rounded initial values."""
+    import jax.numpy as jnp
+
+    g = tf.Grid3D(12, 16, 32, hx=1.0, hy=1.0, hz=1.0)
+    up, uc, got_prev, got_cur = _run_bf16(g, 6, seed=5)
+    h = g.halo
+    rim_bf = np.asarray(jnp.asarray(uc, jnp.bfloat16).astype(jnp.float32))
+    for got in (got_prev, got_cur):
+        np.testing.assert_array_equal(got[:h], rim_bf[:h])
+        np.testing.assert_array_equal(got[-h:], rim_bf[-h:])
+        np.testing.assert_array_equal(got[:, :h], rim_bf[:, :h])
+        np.testing.assert_array_equal(got[:, -h:], rim_bf[:, -h:])
+        np.testing.assert_array_equal(got[..., :h], rim_bf[..., :h])
+        np.testing.assert_array_equal(got[..., -h:], rim_bf[..., -h:])
+
+
+def test_sweep_bf16_ny_not_16_falls_back_to_jnp():
+    """ny % 16 != 0 cannot meet the bf16 (16, 128) tile: auto mode routes
+    to the XLA bf16 engine; explicit t_fuse=3 raises."""
+    from tpufdtd.stepper import JnpEngine
+
+    g = tf.Grid3D(12, 8, 32, hx=1.0, hy=1.0, hz=1.0)
+    m = np.full(g.padded_shape, 1.5, np.float32)
+    cfg = tf.SimConfig(dt=0.001, nsteps=4, backend="pallas",
+                       storage_dtype="bfloat16")
+    sim = Simulator(g, cfg, m)
+    assert isinstance(sim.engine, JnpEngine)
+    with pytest.raises(ValueError, match="bfloat16|bf16|ny % 16"):
+        Simulator(g, tf.SimConfig(backend="pallas", t_fuse=3,
+                                  storage_dtype="bfloat16"), m)

@@ -34,8 +34,11 @@ from .perf import DEFAULT_GRIDS, run_benchmark
 def main(argv=None):
     _enable_compile_cache()
     p = argparse.ArgumentParser(description="TPU 3D acoustic FDTD benchmark")
-    p.add_argument("--sizes", type=int, nargs="*", default=[32, 64, 128],
-                   help="correctness grid sizes (reference: 32..512)")
+    p.add_argument("--sizes", type=int, nargs="*",
+                   default=[32, 64, 128, 256, 512],
+                   help="correctness grid sizes (the reference ladder"
+                        " 32..512, main.cpp:679; the XLA-on-CPU f64 truth"
+                        " makes 512^3 routine)")
     p.add_argument("--grids", type=int, nargs="*", default=list(DEFAULT_GRIDS),
                    help="performance grid sizes")
     p.add_argument("--steps", type=int, default=50)
@@ -48,7 +51,32 @@ def main(argv=None):
     p.add_argument("--append-csv", action="store_true",
                    help="append to an existing CSV instead of replacing it "
                         "(the reference always starts fresh, main.cpp:796)")
+    p.add_argument("--sharded", type=int, default=0, metavar="N",
+                   help="benchmark the sharded engine over an N-device mesh"
+                        " (virtual CPU mesh dryrun when < N real chips);"
+                        " emits benchmark_sharded.csv rows with Devices and"
+                        " Scaling_Eff columns")
     args = p.parse_args(argv)
+
+    if args.sharded:
+        # must provision the mesh BEFORE any JAX backend init below
+        from .perf_sharded import provision_virtual_mesh, run_sharded_benchmark
+
+        provision_virtual_mesh(args.sharded)
+        _enable_compile_cache()
+        run_sharded_benchmark(
+            args.sharded,
+            grids=args.grids,
+            timesteps=args.steps,
+            nsrc=args.sources,
+            reps=args.reps,
+            csv_path="benchmark_sharded.csv",
+        )
+        if os.path.exists("benchmark_sharded.csv"):
+            print("\n=== Sharded results (benchmark_sharded.csv) ===")
+            with open("benchmark_sharded.csv") as f:
+                sys.stdout.write(f.read())
+        return 0
 
     rc = runtime_config()
     peaks = detect_peaks()

@@ -22,7 +22,7 @@ from typing import Iterable, List, Optional
 import numpy as np
 
 from ..config import Grid3D, SimConfig
-from ..oracle import oracle_run_ring
+from ..oracle import truth_run_ring
 from ..stepper import simulate_ring
 
 try:
@@ -91,7 +91,7 @@ def run_correctness_single(
     if verbose:
         print(f"\nTest configuration: {size}x{size}x{size} grid, {nsteps} timesteps")
         print("Running f64 oracle (ground truth)...")
-    ring_truth = oracle_run_ring(up0, uc0, m, grid, 0.001, nsteps, dtype=np.float64)
+    ring_truth = truth_run_ring(up0, uc0, m, grid, 0.001, nsteps)
     truth = np.stack(ring_truth)
 
     reports = []
@@ -115,13 +115,13 @@ def run_correctness_single(
 
 
 def run_correctness(
-    sizes: Iterable[int] = (32, 64, 128),
+    sizes: Iterable[int] = DEFAULT_SIZES,
     nsteps: int = 50,
     backends: Iterable[str] = ("jnp", "pallas"),
     verbose: bool = True,
 ) -> List[ErrorReport]:
-    """Correctness sweep (reference default sizes 32^3-512^3, main.cpp:679;
-    the f64 numpy oracle makes 512 slow — opt in via sizes)."""
+    """Correctness sweep over the reference ladder 32^3-512^3
+    (main.cpp:679); the XLA-on-CPU f64 truth keeps 512^3 to seconds."""
     out: List[ErrorReport] = []
     for s in sizes:
         out.extend(run_correctness_single(s, nsteps, backends, verbose))

@@ -40,23 +40,33 @@ def _zero_rims(a, h):
     return a
 
 
-def state_bytes(grid: Grid3D, method: str = "pallas", t_fuse: int = 0) -> int:
+def state_bytes(grid: Grid3D, method: str = "pallas", t_fuse: int = 0,
+                storage_dtype: str = "float32") -> int:
     """Working-set estimate for the skip check (the reference's 40 GB guard,
     main.cpp:337-341). The v5 sweep engine is in-place on U[2], so its
     steady state is 2 levels (re-preparation transiently doubles that); the
     v4 packed engines hold 4 ring levels plus the transient. t_fuse=1/2
-    forces the packed engines, so the sweep estimate must not apply."""
+    forces the packed engines, so the sweep estimate must not apply.
+    bf16 storage halves the per-level bytes on the sweep and jnp engines."""
     from ..ops import stencil_sweep
 
+    bf16 = storage_dtype == "bfloat16"
+    esz = 2 if bf16 else 4
     volp = int(np.prod(grid.padded_shape))
     sweep_eligible = (
         method != "jnp"
         and t_fuse not in (1, 2)
         and stencil_sweep.supported(grid)
-        and stencil_sweep.pick_k_fuse(grid, 3 if t_fuse == 0 else t_fuse) >= 2
+        and (not bf16 or stencil_sweep.bf16_supported(grid))
+        and stencil_sweep.pick_k_fuse(
+            grid, 3 if t_fuse == 0 else t_fuse, bf16=bf16
+        ) >= 2
     )
     if sweep_eligible:
-        return 4 * volp * 4 + (64 << 20)
+        return 4 * volp * esz + (64 << 20)
+    if method == "jnp" or bf16:
+        # 3-level exact ring + m + transfer transient
+        return 8 * volp * esz
     return 8 * volp * 4
 
 
@@ -81,7 +91,7 @@ def run_benchmark(
 
     for gs in grids:
         grid = Grid3D(gs, gs, gs)
-        need = state_bytes(grid, method, t_fuse)
+        need = state_bytes(grid, method, t_fuse, storage_dtype)
         budget = peaks.hbm_gib * (1 << 30) * hbm_budget_frac
         if need > budget:
             if verbose:

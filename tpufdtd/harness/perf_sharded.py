@@ -1,0 +1,241 @@
+"""Sharded performance reporting — benchmark rows for multi-device runs.
+
+The reference has no multi-GPU mode (grids over one device's HBM are simply
+skipped, main.cpp:337-341); this module reports the scaling axis the TPU
+build adds. Rows use the reference's 23-column CSV schema (main.cpp:222-225)
+extended with Devices and Scaling_Eff(%) columns:
+
+  * cells/s for the whole mesh and per device,
+  * strong-scaling efficiency vs a 1-device run of the same grid
+    (when the grid fits one device; blank otherwise).
+
+Runs on a real multi-chip mesh when one exists, or on the n-virtual-device
+CPU mesh (``--xla_force_host_platform_device_count``) as a dryrun — the
+same program, sharding and collectives, CPU-speed numbers (the method name
+is tagged ``@dryrun`` so rows are never confused with chip measurements).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Iterable, Optional
+
+import numpy as np
+
+from ..config import Grid3D, SimConfig
+from ..utils import metrics
+from ..utils.csvio import HEADER
+from ..utils.stats import compute_stats
+from ..wavelets import default_source_coords, ricker_table
+
+SHARDED_HEADER = HEADER + ",Devices,Scaling_Eff(%)"
+
+
+def provision_virtual_mesh(n_devices: int) -> None:
+    """Make sure >= n_devices JAX devices exist, forcing an n-device virtual
+    CPU platform when the current platform is short (must run before the
+    first JAX backend init; jax.config is needed on this stack because the
+    env var alone is ignored once the TPU plugin is discovered)."""
+    flag = f"--xla_force_host_platform_device_count={n_devices}"
+    xf = os.environ.get("XLA_FLAGS", "")
+    if "--xla_force_host_platform_device_count" not in xf:
+        os.environ["XLA_FLAGS"] = (xf + " " + flag).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:  # pragma: no cover - backend already up
+        pass
+    if jax.device_count() < n_devices:
+        raise RuntimeError(
+            f"could not provision {n_devices} devices (have"
+            f" {jax.device_count()}); set"
+            f" XLA_FLAGS=--xla_force_host_platform_device_count={n_devices}"
+            f" and JAX_PLATFORMS=cpu before the first JAX use"
+        )
+
+
+def _append_sharded_row(path: str, fields) -> None:
+    exists = os.path.exists(path)
+    with open(path, "a") as f:
+        if not exists:
+            f.write(SHARDED_HEADER + "\n")
+        out = []
+        for v in fields:
+            if isinstance(v, str):
+                out.append(v)
+            elif isinstance(v, int):
+                out.append(str(v))
+            elif v is None:
+                out.append("")
+            else:
+                out.append(f"{float(v):g}")
+        f.write(",".join(out) + "\n")
+
+
+def _zero_rims(a, h):
+    a[:h] = 0; a[-h:] = 0
+    a[:, :h] = 0; a[:, -h:] = 0
+    a[..., :h] = 0; a[..., -h:] = 0
+    return a
+
+
+def _sync(x) -> None:
+    import jax
+
+    jax.block_until_ready(x)
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
+
+
+def _timed_run(sim, grid: Grid3D, cfg: SimConfig, src, seed: int) -> float:
+    """Two-span delta device time for one sharded rep (the single-chip
+    run_timed convention: warmup and main spans carry the same fixed
+    dispatch cost, so the delta cancels it)."""
+    h = grid.halo
+    rng = np.random.default_rng(seed)
+    shape = grid.padded_shape
+    ua = _zero_rims(rng.standard_normal(shape).astype(np.float32), h)
+    ub = _zero_rims(rng.standard_normal(shape).astype(np.float32), h)
+    m = np.full(shape, 1.5, np.float32)
+    state, m_sh, packed = sim.prepare(ua, ub, m)
+    w = min(cfg.warmup_steps, cfg.nsteps)
+    rest = cfg.nsteps - w
+    _sync(state)
+    t0 = time.perf_counter()
+    state = sim.run(state, m_sh, packed, src[:w] if src is not None else None, w)
+    _sync(state)
+    t_w = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    state = sim.run(
+        state, m_sh, packed, src[w:cfg.nsteps] if src is not None else None,
+        rest,
+    )
+    _sync(state)
+    t_m = time.perf_counter() - t0
+    if w and rest > w:
+        delta = (t_m - t_w) / (rest - w) * rest
+        return max(delta if delta > 0.2 * t_m else t_m, 1e-9)
+    return max(t_m, 1e-9)
+
+
+def run_sharded_benchmark(
+    n_devices: int,
+    grids: Iterable[int] = (128, 256),
+    timesteps: int = 50,
+    nsrc: int = 1,
+    reps: int = 3,
+    csv_path: Optional[str] = "benchmark_sharded.csv",
+    verbose: bool = True,
+    baseline_single: bool = True,
+):
+    """Benchmark the sharded engine over an n-device mesh; returns row dicts.
+
+    Strong-scaling efficiency compares the n-device device time with a
+    1-device mesh run of the SAME global grid (skipped when the grid does
+    not fit / is not requested)."""
+    import jax
+
+    from ..parallel import ShardedSimulator, make_mesh
+    from ..utils.peaks import detect_peaks
+
+    provision_virtual_mesh(n_devices)
+    dryrun = jax.devices()[0].platform != "tpu"
+    tag = "@dryrun" if dryrun else ""
+    peaks = detect_peaks()
+    mesh = make_mesh(n_devices)
+    results = []
+
+    for gs in grids:
+        grid = Grid3D(gs, gs, gs)
+        if gs % n_devices:
+            if verbose:
+                print(f"Skipping {gs}^3 (nx % {n_devices} != 0)")
+            continue
+        cfg = SimConfig(dt=0.001, nsteps=timesteps, backend="pallas")
+        src = ricker_table(timesteps, nsrc, cfg.dt) if nsrc else None
+        coords = default_source_coords(nsrc, gs, gs, gs) if nsrc else None
+        m = np.full(grid.padded_shape, 1.5, np.float32)
+
+        sim = ShardedSimulator(grid, cfg, m, mesh, src_coords=coords)
+        engine = "sweep" if sim.sweep is not None else "per-step"
+        if verbose:
+            print(
+                f"Sharded {gs}^3 x {timesteps} on {n_devices} device(s)"
+                f" [{engine} engine{tag}]"
+            )
+        times = []
+        for rep in range(reps + 1):  # rep 0 discarded (compile)
+            secs = _timed_run(sim, grid, cfg, src, seed=rep)
+            if rep:
+                times.append(secs)
+        dstats = compute_stats(times)
+        cells = gs**3 * timesteps
+        gcells = cells / dstats.mean / 1e9
+        gflops = metrics.gflops_model(gs, gs, gs, timesteps, dstats.mean,
+                                      grid.order)
+        gbps = metrics.gbps_model(gs, gs, gs, timesteps, dstats.mean,
+                                  metrics.BYTES_OPTIMIZED)
+        # mesh-wide peaks scale linearly over ICI-connected chips
+        compute_eff = gflops / (peaks.fp32_gflops * n_devices) * 100.0
+        memory_eff = gbps / (peaks.hbm_gbps * n_devices) * 100.0
+
+        scal_eff = None
+        if baseline_single and n_devices > 1:
+            mesh1 = make_mesh(1)
+            sim1 = ShardedSimulator(grid, cfg, m, mesh1, src_coords=coords)
+            t1 = [
+                _timed_run(sim1, grid, cfg, src, seed=rep)
+                for rep in range(2)
+            ][-1]
+            scal_eff = t1 / (dstats.mean * n_devices) * 100.0
+            del sim1
+
+        if verbose:
+            per_dev = gcells / n_devices
+            line = (
+                f"  device time {dstats.mean*1e3:.2f} ±"
+                f" {dstats.stddev*1e3:.2f} ms | {gcells:.2f} Gcell/s"
+                f" ({per_dev:.2f}/dev) | mem eff {memory_eff:.1f}%"
+            )
+            if scal_eff is not None:
+                line += f" | strong scaling {scal_eff:.1f}%"
+            print(line)
+
+        if csv_path:
+            s1_share = (8.0 * nsrc) / (grid.interior_cells + 8.0 * nsrc)
+            _append_sharded_row(
+                csv_path,
+                [
+                    f"pallas-sharded{tag}",
+                    dstats.mean * 1e3, dstats.stddev * 1e3,
+                    dstats.mean * (1 - s1_share) * 1e3, 0.0,
+                    dstats.mean * s1_share * 1e3, 0.0,
+                    dstats.mean * 1e3, dstats.stddev * 1e3,
+                    0.0, 0.0,
+                    gflops, 0.0, gbps, 0.0,
+                    compute_eff, memory_eff,
+                    metrics.arithmetic_intensity(4, metrics.BYTES_OPTIMIZED),
+                    gs, gs, gs, timesteps, nsrc, grid.order,
+                    n_devices, scal_eff,
+                ],
+            )
+
+        results.append(
+            {
+                "size": gs,
+                "devices": n_devices,
+                "engine": engine,
+                "dryrun": dryrun,
+                "device_time_s": dstats.mean,
+                "gcells_per_s": gcells,
+                "gcells_per_s_per_device": gcells / n_devices,
+                "memory_eff_pct": memory_eff,
+                "scaling_eff_pct": scal_eff,
+            }
+        )
+        del sim
+    return results

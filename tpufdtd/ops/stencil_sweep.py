@@ -42,6 +42,16 @@ falls back to the v3/v4 engines.
 Constraints: px = halo = 4 supports K <= 3 (stage-1 frontier reaches
 px - K*R + R >= 0); py = 8 supports K <= 4. ny % 8 == 0 (sublane-aligned
 interior rows). Any nz (nz % 128 == 0 for full DMA efficiency).
+
+bf16 storage mode (the TPU analogue of the reference's FP16 storage path,
+cuda_optimized.cu:261-343, done without shadow copies): U lives in HBM as
+bfloat16, halving both the DMA traffic and the resident state; the DMA rings
+are bfloat16 and each arriving cur plane is widened ONCE into an f32 shadow
+ring, all stencil arithmetic runs in f32 (the fused stages hand f32 planes
+to each other through the f32 stage ring — no intermediate rounding), and
+only the final out planes are rounded back to bf16 on the store into the
+out ring. bf16's (16, 128) VMEM tiling requires py = 16 and ny % 16 == 0
+so every sublane DMA offset stays tile-aligned.
 """
 
 from __future__ import annotations
@@ -95,27 +105,40 @@ def core_nz(grid: Grid3D) -> int:
 VMEM_BUDGET = 120 * 1024 * 1024  # leave headroom under the 128 MB VMEM
 
 
-def vmem_bytes(grid: Grid3D, K: int, px: int, py: int = 8) -> int:
+def bf16_supported(grid: Grid3D) -> bool:
+    """bf16 storage additionally needs ny % 16 == 0 (the bf16 (16, 128) VMEM
+    tile: py = 16 and 16-aligned interior row counts keep every sublane DMA
+    offset tile-aligned)."""
+    return supported(grid) and grid.ny % 16 == 0
+
+
+def vmem_bytes(grid: Grid3D, K: int, px: int, py: int = 8,
+               bf16: bool = False) -> int:
     """Scratch VMEM this kernel needs at fusion depth K (rings + the
     lane-padded zrT block); used to pick the largest K that fits."""
     ny, nz = grid.ny, core_nz(grid)
     nyp = ny + 2 * py
     nxp = grid.nx + 2 * px
-    plane = nyp * nz * 4
-    out_plane = ny * nz * 4
+    esz = 2 if bf16 else 4
+    plane = nyp * nz * 4  # f32 compute plane
+    plane_s = nyp * nz * esz  # storage-dtype plane (DMA rings)
+    out_plane = ny * nz * esz
     if z_embedded(grid):
         zrt = 8 * 128 * 4  # placeholder block only
     else:
         lanes = -(-nyp // 128) * 128  # zrT lanes padded to the 128 tile
         zrt = nxp * 2 * grid.halo * lanes * 4
     stage = (K - 1) * STAGE_RING * plane if K > 1 else 8 * 128 * 4
+    # bf16: the f32 shadow ring the cur planes are widened into
+    cur32 = CUR_RING * plane if bf16 else 0
     # Mosaic needs ~12-16 plane-sized scoped temporaries for the leap
     # expression on top of the declared scratch (measured: 132.2 MB actual
     # vs 103 MB declared at 768^3 K=3)
     temporaries = 13 * plane
     return (
-        CUR_RING * plane
-        + PREV_RING * plane
+        CUR_RING * plane_s
+        + cur32
+        + PREV_RING * plane_s
         + stage
         + 2 * OUT_RING * out_plane
         + zrt
@@ -123,12 +146,15 @@ def vmem_bytes(grid: Grid3D, K: int, px: int, py: int = 8) -> int:
     )
 
 
-def pick_k_fuse(grid: Grid3D, want: int) -> int:
+def pick_k_fuse(grid: Grid3D, want: int, bf16: bool = False) -> int:
     """Largest K <= want whose scratch fits the VMEM budget (0 if none)."""
     R = grid.radius
+    py = 16 if bf16 else 8
     for k in range(want, 0, -1):
         px = max(grid.halo, k * R)
-        if k <= max_k_fuse(grid, px) and vmem_bytes(grid, k, px) <= VMEM_BUDGET:
+        if k <= max_k_fuse(grid, px, py) and vmem_bytes(
+            grid, k, px, py, bf16
+        ) <= VMEM_BUDGET:
             return k
     return 0
 
@@ -259,6 +285,7 @@ def _sweep_kernel(
     zrT_ref,
     out_hbm,
     cur_ring,
+    cur32_ring,
     prev_ring,
     stage_ring,
     out_ring,
@@ -277,6 +304,7 @@ def _sweep_kernel(
     z_embed: bool = False,
     frozen_lo: int = 0,
     frozen_hi: int = 0,
+    bf16: bool = False,
 ):
     """frozen_lo/frozen_hi: interior planes [0, frozen_lo) and
     [nx - frozen_hi, nx) are treated as frozen (copied through every stage,
@@ -305,6 +333,15 @@ def _sweep_kernel(
     # prev planes consumed: px + j for interior j in [0, nx)
     q_prev0 = px
 
+    # compute-side cur planes: in bf16 mode each arriving bf16 plane is
+    # widened ONCE into the f32 shadow ring; all downstream reads hit f32
+    c32 = cur32_ring if bf16 else cur_ring
+    ocast = (lambda x: x.astype(jnp.bfloat16)) if bf16 else (lambda x: x)
+
+    def widen_cur(slot: int):
+        if bf16:
+            cur32_ring[slot] = cur_ring[slot][...].astype(jnp.float32)
+
     def fetch_cur(q, slot: int):
         return pltpu.make_async_copy(
             u_hbm.at[cur_lvl, q], cur_ring.at[slot], sem_cur.at[slot]
@@ -331,6 +368,7 @@ def _sweep_kernel(
         fetch_cur(q_cur0 + a, (q_cur0 + a) % CUR_RING).start()
     for a in range(min(2 * R, n_cur)):
         fetch_cur(q_cur0 + a, (q_cur0 + a) % CUR_RING).wait()
+        widen_cur((q_cur0 + a) % CUR_RING)
     n_pro_prev = min(FETCH_LEAD, nx)
     for a in range(n_pro_prev):
         fetch_prev(q_prev0 + a, (q_prev0 + a) % PREV_RING).start()
@@ -376,6 +414,7 @@ def _sweep_kernel(
         qc_wait = q_cur0 + 2 * R + t
         if cond(None, "qc_wait"):
             fetch_cur(qc_wait, (q_cur0 + 2 * R + k) % CUR_RING).wait()
+            widen_cur((q_cur0 + 2 * R + k) % CUR_RING)
 
         j = j0 + t  # stage-1 interior plane index
         if cond(None, "prev_issue"):
@@ -388,7 +427,7 @@ def _sweep_kernel(
             fetch_prev(px + j, (px + j0 + k) % PREV_RING).wait()
 
         def cur_at(d: int):  # cur plane at X1 + d, static slot
-            return cur_ring[(px + j0 + k + d) % CUR_RING]
+            return c32[(px + j0 + k + d) % CUR_RING]
 
         X1 = px + j
         s1_slot = (px + j0 + k) % STAGE_RING
@@ -399,15 +438,18 @@ def _sweep_kernel(
             o_slot = k % OUT_RING
             if cond(None, "in1"):
                 pv = prev_ring[(px + j0 + k) % PREV_RING]
+                pv_rows = pv[py : py + ny, :]
+                if bf16:
+                    pv_rows = pv_rows.astype(jnp.float32)
                 zrT1 = None if z_embed else zrT_ref[X1]
-                upd = leap(planes1, pv[py : py + ny, :], zrT1, py, ny)
+                upd = leap(planes1, pv_rows, zrT1, py, ny)
             else:
                 # frozen margin plane: rims are identical across levels, so
                 # writing the cur value into the prev level is a no-op value-wise
                 upd = cy1[py : py + ny, :]
             if cond(None, "out_wait1"):
                 write_out(0, o_slot, X1).wait()
-            out_ring[0, o_slot] = upd
+            out_ring[0, o_slot] = ocast(upd)
             # u_next overwrites the prev level (2-buffer leapfrog ring)
             write_out(0, o_slot, X1).start()
             return
@@ -418,8 +460,11 @@ def _sweep_kernel(
         # computed.
         if cond(None, "in1"):
             pv = prev_ring[(px + j0 + k) % PREV_RING]
+            pv_rows = pv[py : py + ny, :]
+            if bf16:
+                pv_rows = pv_rows.astype(jnp.float32)
             zrT1 = None if z_embed else zrT_ref[X1]
-            upd1 = leap(planes1, pv[py : py + ny, :], zrT1, py, ny)
+            upd1 = leap(planes1, pv_rows, zrT1, py, ny)
             stage_ring[0, s1_slot, py : py + ny] = upd1
             stage_ring[0, s1_slot, 0:py] = cy1[0:py, :]
             stage_ring[0, s1_slot, py + ny :] = cy1[py + ny :, :]
@@ -440,7 +485,7 @@ def _sweep_kernel(
             if st < K:
                 if cond(None, "in", st):
                     if st == 2:
-                        pvs = cur_ring[(px + j0 + k - R) % CUR_RING]
+                        pvs = c32[(px + j0 + k - R) % CUR_RING]
                     else:
                         pvs = stage_ring[st - 3, ks]
                     zrTs = None if z_embed else zrT_ref[Xs]
@@ -458,7 +503,7 @@ def _sweep_kernel(
                     write_out(1, o_slot, px).wait()
                 if cond(None, "in", st):
                     if st == 2:
-                        pvs = cur_ring[(px + j0 + k - R) % CUR_RING]
+                        pvs = c32[(px + j0 + k - R) % CUR_RING]
                     else:
                         pvs = stage_ring[st - 3, ks]
                     zrTs = None if z_embed else zrT_ref[Xs]
@@ -466,9 +511,9 @@ def _sweep_kernel(
                 else:
                     # frozen margin plane: pass the cur value through
                     upd = cyS[py : py + ny, :]
-                out_ring[1, o_slot] = upd
+                out_ring[1, o_slot] = ocast(upd)
                 # u_{n+K-1} = stage K-1's plane Xs, interior rows
-                out_ring[0, o_slot] = stage_ring[st - 2, ks][py : py + ny, :]
+                out_ring[0, o_slot] = ocast(stage_ring[st - 2, ks][py : py + ny, :])
                 write_out(0, o_slot, Xs).start()
                 write_out(1, o_slot, Xs).start()
 
@@ -570,10 +615,21 @@ def sweep_fused(
     ny = grid.ny
     px, py = (nxp - grid.nx) // 2, (nyp - ny) // 2
     z_embed = nz != grid.nz
+    bf16 = U.dtype == jnp.bfloat16
     if not supported(grid):
         raise ValueError(
             f"sweep kernel needs ny % 8 == 0, order <= 4 and nx >= 2*radius;"
             f" got ny={grid.ny}, order={grid.order}, nx={grid.nx}"
+        )
+    if bf16 and (ny % 16 != 0 or py % 16 != 0):
+        raise ValueError(
+            f"bf16 storage needs ny % 16 == 0 and a 16-multiple y pad (the"
+            f" bf16 (16, 128) VMEM tile); got ny={ny}, py={py} — build the"
+            f" state via ZSplitLayout(grid, py=16, ...)"
+        )
+    if U.dtype not in (jnp.float32, jnp.bfloat16):
+        raise ValueError(
+            f"sweep kernel supports float32 or bfloat16 storage; got {U.dtype}"
         )
     if not 1 <= K <= max_k_fuse(grid, px, py):
         raise ValueError(
@@ -597,6 +653,11 @@ def sweep_fused(
             f"compiled mode needs the core z extent lane-tile aligned"
             f" (nz % 128 == 0); got {nz}"
         )
+    if not z_embed and zrimT.dtype != jnp.float32:
+        raise ValueError(
+            f"zrimT must be float32 (the z rim feeds f32 compute directly,"
+            f" even under bf16 storage); got {zrimT.dtype}"
+        )
     if frozen_lo < 0 or frozen_hi < 0 or frozen_lo + frozen_hi > grid.nx:
         raise ValueError(
             f"frozen margins out of range: {frozen_lo}+{frozen_hi} vs"
@@ -606,22 +667,26 @@ def sweep_fused(
     kern = functools.partial(
         _sweep_kernel, grid=grid, dt=dt, m_val=m_val, K=K, px=px, py=py,
         cur=cur, use_roll=not interpret, z_embed=z_embed,
-        frozen_lo=frozen_lo, frozen_hi=frozen_hi,
+        frozen_lo=frozen_lo, frozen_hi=frozen_hi, bf16=bf16,
     )
+    sdt = U.dtype
     scratch = [
-        pltpu.VMEM((CUR_RING, nyp, nz), jnp.float32),
-        pltpu.VMEM((PREV_RING, nyp, nz), jnp.float32),
+        pltpu.VMEM((CUR_RING, nyp, nz), sdt),
+        pltpu.VMEM(
+            (CUR_RING, nyp, nz) if bf16 else (1, 8, 128), jnp.float32
+        ),
+        pltpu.VMEM((PREV_RING, nyp, nz), sdt),
         pltpu.VMEM(
             ((K - 1, STAGE_RING, nyp, nz) if K > 1 else (1, 1, 8, 128)),
             jnp.float32,
         ),
-        pltpu.VMEM((2, OUT_RING, ny, nz), jnp.float32),
+        pltpu.VMEM((2, OUT_RING, ny, nz), sdt),
         pltpu.SemaphoreType.DMA((CUR_RING,)),
         pltpu.SemaphoreType.DMA((PREV_RING,)),
         pltpu.SemaphoreType.DMA((2, OUT_RING)),
     ]
     flops_per_pt = K * (3 * (grid.order + 1) * 2 + 6)
-    bytes_pt = 16  # 2 reads + 2 writes per call
+    bytes_pt = 8 if bf16 else 16  # 2 reads + 2 writes per call
     cost = pl.CostEstimate(
         flops=flops_per_pt * grid.interior_cells,
         bytes_accessed=bytes_pt * grid.interior_cells,

@@ -162,3 +162,104 @@ def oracle_run_ring(
             oracle_inject(un, term, src[t])
         P, C, T = C, un, P
     return P, C, T
+
+
+def truth_run_ring(
+    u_prev: np.ndarray,
+    u_cur: np.ndarray,
+    m: np.ndarray,
+    grid: Grid3D,
+    dt: float,
+    nsteps: int,
+    src: np.ndarray | None = None,
+    src_coords: np.ndarray | None = None,
+    u_target: np.ndarray | None = None,
+):
+    """Fast f64 ground truth: the oracle's scheme compiled with XLA on CPU.
+
+    Identical semantics to oracle_run_ring(dtype=np.float64) — same
+    coefficient values, frozen-rim target writes, %3 ring, scatter-add
+    injection — with a different fp association order inside the fused
+    stencil; the two agree to f64 roundoff (~1e-15 rel), invisible under
+    the 1e-4 correctness gate (main.cpp:603) and the test tolerances. This
+    makes the reference's full correctness ladder {32..512}^3 x 50
+    (main.cpp:679) routine: the NumPy oracle takes minutes at 512^3, this
+    takes seconds. Falls back to the NumPy oracle when the CPU backend or
+    x64 mode is unavailable.
+    """
+    try:
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import enable_x64
+
+        cpu = jax.devices("cpu")[0]
+    except Exception:  # pragma: no cover - CPU backend always present in CI
+        return oracle_run_ring(
+            u_prev, u_cur, m, grid, dt, nsteps, src, src_coords,
+            np.float64, u_target,
+        )
+
+    term = build_source_term(grid, src_coords, m)
+    have_src = src is not None and not term.empty
+    f8 = np.float64
+    dt64 = f8(dt)
+    hx, hy, hz = f8(grid.hx), f8(grid.hy), f8(grid.hz)
+    r1 = f8(1.0) / (dt64 * dt64)
+    r2, r3, r4 = f8(1.0) / (hx * hx), f8(1.0) / (hy * hy), f8(1.0) / (hz * hz)
+    W = tuple(f8(w) for w in stencil_weights(grid.order))
+    h = grid.halo
+    n = (grid.nx, grid.ny, grid.nz)
+    interior = grid.interior_slices()
+
+    def sl(shift_axis: int, d: int) -> tuple:
+        return tuple(
+            slice(h + (d if ax == shift_axis else 0),
+                  h + (d if ax == shift_axis else 0) + n[ax])
+            for ax in range(3)
+        )
+
+    with enable_x64(), jax.default_device(cpu):
+        m64 = jnp.asarray(m, jnp.float64)
+        mc = m64[interior]
+
+        def step(C, P, T, srow):
+            u0c = C[interior]
+            r5 = W[0] * u0c
+            terms = []
+            for axis, rax in ((0, r2), (1, r3), (2, r4)):
+                acc = r5
+                for d in range(grid.radius, 0, -1):
+                    acc = acc + W[d] * (C[sl(axis, -d)] + C[sl(axis, d)])
+                terms.append(rax * acc)
+            upd = (
+                dt64 * dt64
+                * (terms[0] + terms[1] + terms[2]
+                   - (f8(-2.0) * r1 * u0c + r1 * P[interior]) * mc)
+                / mc
+            )
+            un = T.at[interior].set(upd)
+            if srow is not None:
+                vals = srow[term.src_idx] * jnp.asarray(term.scale, jnp.float64)
+                un = un.at[term.ix, term.iy, term.iz].add(vals)
+            return un
+
+        def body(carry, srow):
+            P, C, T = carry
+            un = step(C, P, T, srow)
+            return (C, un, P), None
+
+        state = (
+            jnp.asarray(u_prev, jnp.float64),
+            jnp.asarray(u_cur, jnp.float64),
+            jnp.asarray(u_cur if u_target is None else u_target, jnp.float64),
+        )
+        xs = jnp.asarray(src[:nsteps], jnp.float64) if have_src else None
+        run = jax.jit(
+            lambda s, x: jax.lax.scan(body, s, x, length=nsteps)[0]
+        )
+        P, C, T = run(state, xs)
+        return (
+            np.asarray(P, np.float64),
+            np.asarray(C, np.float64),
+            np.asarray(T, np.float64),
+        )

@@ -120,7 +120,7 @@ def inject(u: jnp.ndarray, term: SourceTerm, src_t: jnp.ndarray) -> jnp.ndarray:
     """
     if term.empty:
         return u
-    vals = src_t[term.src_idx] * term.scale
+    vals = (src_t[term.src_idx] * term.scale).astype(u.dtype)
     return u.at[term.ix, term.iy, term.iz].add(vals, mode="drop")
 
 

@@ -140,7 +140,7 @@ class ZSplitEngine:
         if self.fast_capable:
             self._tile1 = stencil_pallas_z.choose_tiling(grid)
             self._tile2 = stencil_pallas_z.choose_tiling_fused2(grid)
-        if self.fast_capable and cfg.t_fuse in (0, 2):
+        if self.fast_capable and cfg.t_fuse in (0, 2) and cfg.storage_dtype == "float32":
             cubes = injection_propagation_cubes(
                 grid, self.core_term, self.m_val, cfg.dt
             )
@@ -167,18 +167,24 @@ class ZSplitEngine:
         from .ops import stencil_sweep
 
         self.sweep_k = 0
+        bf16 = cfg.storage_dtype == "bfloat16"
         want = cfg.t_fuse in (0, 3, 4)
         explicit = cfg.t_fuse in (3, 4)
-        if not (want and self.fast_capable and stencil_sweep.supported(grid, self._interpret)):
+        ok = want and self.fast_capable and stencil_sweep.supported(
+            grid, self._interpret
+        )
+        if ok and bf16 and not stencil_sweep.bf16_supported(grid):
+            ok = False
+        if not ok:
             if explicit:
                 raise ValueError(
                     "t_fuse>=3 (sweep kernel) requires uniform m, identical"
-                    " rims, ny % 8 == 0, order <= 4 (radius <= 2), and"
-                    " nx >= 2*radius"
+                    " rims, ny % 8 == 0 (ny % 16 == 0 for bfloat16 storage),"
+                    " order <= 4 (radius <= 2), and nx >= 2*radius"
                 )
             return
         k_req = 3 if cfg.t_fuse == 0 else cfg.t_fuse
-        k = stencil_sweep.pick_k_fuse(grid, k_req)
+        k = stencil_sweep.pick_k_fuse(grid, k_req, bf16=bf16)
         if explicit and k != cfg.t_fuse:
             raise ValueError(
                 f"t_fuse={cfg.t_fuse} scratch exceeds the VMEM budget for"
@@ -195,7 +201,8 @@ class ZSplitEngine:
             return
         ze = stencil_sweep.z_embedded(grid)
         self.sweep_lay = _ZS(
-            grid, py=8, xpad=max(grid.halo, k * grid.radius), z_embed=ze
+            grid, py=16 if bf16 else 8,
+            xpad=max(grid.halo, k * grid.radius), z_embed=ze,
         )
         ref_term = build_source_term(grid, self._coords, m_ref)
         s_core, s_zrim = split_source_term(ref_term, self.sweep_lay)
@@ -283,7 +290,20 @@ class ZSplitEngine:
                 if self.sweep_lay.z_embed
                 else self._sweep.transpose_zrim(p_zrim)
             )
-            return {"sweep_1": (jnp.asarray(U), jnp.asarray(zrT))}
+            # z rim stays f32 even under bf16 storage (feeds f32 compute)
+            return {
+                "sweep_1": (
+                    jnp.asarray(U, dtype=_storage_dtype(self.cfg)),
+                    jnp.asarray(zrT, dtype=jnp.float32),
+                )
+            }
+        if self.cfg.storage_dtype == "bfloat16":
+            raise ValueError(
+                "bfloat16 storage on the pallas backend runs only the sweep"
+                " engine, which needs identical rims across all ring levels"
+                " (standard ICs satisfy this); use backend='jnp' for bf16"
+                " with differing rims"
+            )
         if self.fast_capable and self._rims_identical(
             [u_prev, u_cur, u_target], self.grid.halo
         ):
@@ -325,9 +345,11 @@ class ZSplitEngine:
                     if self.sweep_lay.z_embed
                     else self._sweep.untranspose_zrim(np.asarray(zrT))
                 )
+                # host-facing arrays are always f32 (bf16 storage widens here)
+                Uf = np.asarray(jnp.asarray(U, jnp.float32))
                 return (
-                    self.sweep_lay.join(np.asarray(U[1 - cur]), zr),
-                    self.sweep_lay.join(np.asarray(U[cur]), zr),
+                    self.sweep_lay.join(Uf[1 - cur], zr),
+                    self.sweep_lay.join(Uf[cur], zr),
                 )
             U, zr = state[key]
             _, pair, cur = key.split("_")
@@ -345,7 +367,7 @@ class ZSplitEngine:
         if t.empty:
             return U
         lv = np.full_like(t.ix, lvl)
-        vals = src_row[t.src_idx] * t.scale
+        vals = (src_row[t.src_idx] * t.scale).astype(U.dtype)
         return U.at[lv, t.ix, t.iy, t.iz].add(vals, mode="drop")
 
     def _packed_single(self, U, zr, cur, base=0):
@@ -467,7 +489,7 @@ class ZSplitEngine:
         if t.empty:
             return U
         lv = np.full_like(t.ix, lvl)
-        vals = src_row[t.src_idx] * t.scale
+        vals = (src_row[t.src_idx] * t.scale).astype(U.dtype)
         return U.at[lv, t.ix, t.iy, t.iz].add(vals, mode="drop")
 
     def _sw_correct(self, U, s, kk):
@@ -479,9 +501,11 @@ class ZSplitEngine:
         U = self._sw_inject(U, 1, s[kk - 1])
         for j in range(2, kk + 1):
             for sl, cube, p in self.sweep_cubes[j]:
-                U = U.at[(1,) + sl].add(s[kk - j][p] * cube)
+                U = U.at[(1,) + sl].add((s[kk - j][p] * cube).astype(U.dtype))
                 if kk - 1 - j >= 0:
-                    U = U.at[(0,) + sl].add(s[kk - 1 - j][p] * cube)
+                    U = U.at[(0,) + sl].add(
+                        (s[kk - 1 - j][p] * cube).astype(U.dtype)
+                    )
         return U
 
     def _run_sweep(self, state, src_table, nsteps):
@@ -562,12 +586,24 @@ def make_engine(
     if cfg.backend == "pallas_v2":
         return PallasV2Engine(grid, cfg, m_ref, coords)
     if cfg.backend == "pallas":
-        from .ops import stencil_pallas_z
+        from .ops import stencil_pallas_z, stencil_sweep
 
         if cfg.storage_dtype == "bfloat16":
-            # bf16 sublane tiling (16-row) is incompatible with the current
-            # pallas layouts; the XLA backend handles bf16 storage with f32
-            # compute (upcast per step)
+            # bf16 storage runs on the sweep engine only (bf16 HBM, f32 VMEM
+            # compute; the packed v2-v4 kernels' 8-sublane layouts don't meet
+            # the bf16 (16, 128) tile). When the sweep is ineligible for this
+            # (grid, sources) combination, the XLA backend handles bf16
+            # storage with per-step f32 upcast.
+            if stencil_pallas_z.supported(grid) and stencil_sweep.bf16_supported(grid):
+                eng = ZSplitEngine(grid, cfg, m_ref, coords)
+                if eng.sweep_k:
+                    return eng
+            if cfg.t_fuse in (3, 4):
+                raise ValueError(
+                    "t_fuse>=3 with bfloat16 storage requires the sweep"
+                    " engine: uniform m, ny % 16 == 0, order <= 4, and"
+                    " sources inside the interior"
+                )
             return JnpEngine(grid, cfg, m_ref, coords)
         if stencil_pallas_z.supported(grid):
             return ZSplitEngine(grid, cfg, m_ref, coords)
