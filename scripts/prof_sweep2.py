@@ -36,11 +36,14 @@ def main():
     grid = tf.Grid3D(n, n, n)
     rng = np.random.default_rng(0)
     h = grid.halo
-    N1, N2 = 2, 10
+    # longer chains for small grids so the scan delta dwarfs dispatch jitter
+    N2 = int(sys.argv[4]) if len(sys.argv) > 4 else max(10, (512 // n) ** 3 * 10)
+    N1 = 2
 
     for K in ks:
         px = max(h, K * grid.radius)
-        lay = ZSplitLayout(grid, py=8, xpad=px)
+        ze = sw.z_embedded(grid)
+        lay = ZSplitLayout(grid, py=8, xpad=px, z_embed=ze)
         shape = grid.padded_shape
         uc = rng.standard_normal(shape).astype(np.float32)
         up = rng.standard_normal(shape).astype(np.float32)
@@ -51,7 +54,7 @@ def main():
         p_core, p_zrim = lay.split(up)
         c_core, _ = lay.split(uc)
         U0 = np.stack([p_core, c_core])
-        zrT = jnp.asarray(sw.transpose_zrim(p_zrim))
+        zrT = jnp.asarray(p_zrim if ze else sw.transpose_zrim(p_zrim))
 
         def chain(U, z, n_calls):
             def body(u, _):

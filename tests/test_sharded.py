@@ -170,7 +170,9 @@ def test_sharded_sweep_bitwise_matches_single_chip():
     st = sim.run(st, ms, pk, None, 9)
     _, C = sim.extract_state(st)
     s1 = tf.Simulator(g, cfg, m)
-    assert s1.engine.sweep_k == 3
+    assert s1.engine.sweep_k >= 3  # auto K may exceed the sharded cap of 3;
+    # fusing only regroups identical f32 stage arithmetic, so bit-equality
+    # holds across depths
     st1 = s1.prepare_state(up0.copy(), uc0.copy())
     st1 = s1.run(st1, None, 9)
     _, C1 = s1.extract_state(st1)
@@ -242,3 +244,62 @@ def test_sharded_sweep_fallback_when_ineligible():
     assert sim2.sweep is not None
     state, _, _ = sim2.prepare(up2, uc2, m2)
     assert not isinstance(state, dict)
+
+
+def test_sharded_sweep_bf16_matches_single_chip():
+    """bf16 storage on the sharded sweep: state is bfloat16 on device, z rim
+    stays f32, and results are bit-equal to the single-chip bf16 sweep (the
+    redundant-margin scheme feeds identical bf16 inputs to every plane)."""
+    import jax.numpy as jnp
+
+    g = tf.Grid3D(32, 16, 16, hx=1.0, hy=1.0, hz=1.0)
+    up, uc = _zero_rim_ic(g)
+    m = np.full(g.padded_shape, 1.5, np.float32)
+    cfg = tf.SimConfig(dt=0.001, nsteps=9, backend="pallas",
+                       storage_dtype="bfloat16")
+    sim = ShardedSimulator(g, cfg, m, make_mesh(4))
+    assert sim.sweep is not None and sim.sweep.K == 3
+    assert sim.sweep.lay.py == 16
+    st, ms, pk = sim.prepare(up.copy(), uc.copy(), m)
+    assert isinstance(st, dict)
+    U, zrT = st["sweep"]
+    assert U.dtype == jnp.bfloat16 and zrT.dtype == jnp.float32
+    st = sim.run(st, ms, pk, None, 9)
+    _, C = sim.extract_state(st)
+    assert C.dtype == np.float32
+
+    import dataclasses
+    # pin the single-chip depth to the sharded K: bf16 rounds at fused-block
+    # boundaries, so bit-equality needs matching block structure
+    s1 = tf.Simulator(g, dataclasses.replace(cfg, t_fuse=3), m)
+    assert s1.engine.sweep_k == 3
+    st1 = s1.prepare_state(up.copy(), uc.copy())
+    st1 = s1.run(st1, None, 9)
+    _, C1 = s1.extract_state(st1)
+    assert np.array_equal(C, C1)
+
+    _, oC = tf.oracle_run(up.copy(), uc.copy(), m, g, 0.001, 9,
+                          dtype=np.float64)
+    assert rel_l2(C, oC) < 4e-2  # bf16 storage accuracy class
+
+
+def test_sharded_bf16_per_step_fallback():
+    """bf16 + ineligible sweep (nxl too small): per-step program runs with
+    bf16 state and f32 compute, matching the jnp bf16 engine."""
+    import jax.numpy as jnp
+
+    g = tf.Grid3D(8, 16, 16, hx=1.0, hy=1.0, hz=1.0)
+    up0, uc0, m = make_correctness_ic(g)
+    cfg = tf.SimConfig(dt=0.001, nsteps=6, backend="pallas",
+                       storage_dtype="bfloat16")
+    sim = ShardedSimulator(g, cfg, m, make_mesh(4))
+    assert sim.sweep is None
+    st, ms, pk = sim.prepare(up0.copy(), uc0.copy(), m)
+    assert st[0].dtype == jnp.bfloat16
+    st = sim.run(st, ms, pk, None, 6)
+    ring = sim.extract_state(st)
+    cfg_j = tf.SimConfig(dt=0.001, nsteps=6, backend="jnp",
+                         storage_dtype="bfloat16")
+    ring_j = tf.simulate_ring(up0.copy(), uc0.copy(), m, g, cfg_j)
+    for mine, jref in zip(ring, ring_j):
+        assert np.array_equal(mine, np.asarray(jref, np.float32))

@@ -34,14 +34,18 @@ def _fast_ic(grid, seed=0):
 
 
 def _run_sweep_vs_oracle(grid, nsteps, coords=None, t_fuse=0, seed=0,
-                         expect_k=3):
+                         expect_k=None):
+    # expect_k=None: any fused depth >= 2 (auto K may degrade with sources)
     up, uc = _fast_ic(grid, seed)
     m = np.full(grid.padded_shape, 1.5, np.float32)
     cfg = tf.SimConfig(dt=0.001, nsteps=nsteps, backend="pallas",
                        t_fuse=t_fuse)
     src = tf.ricker_table(nsteps, coords.shape[0], cfg.dt) if coords is not None else None
     sim = Simulator(grid, cfg, m, coords)
-    assert sim.engine.sweep_k == expect_k, sim.engine.sweep_k
+    if expect_k is None:
+        assert sim.engine.sweep_k >= 2, sim.engine.sweep_k
+    else:
+        assert sim.engine.sweep_k == expect_k, sim.engine.sweep_k
     state = sim.prepare_state(up.copy(), uc.copy())
     assert next(iter(state)).startswith("sweep")
     state = sim.run(state, src, nsteps)
@@ -201,7 +205,7 @@ def _run_bf16(grid, nsteps, coords=None, seed=0):
     src = (tf.ricker_table(nsteps, coords.shape[0], cfg.dt)
            if coords is not None else None)
     sim = Simulator(grid, cfg, m, coords)
-    assert sim.engine.sweep_k == 3, sim.engine.sweep_k
+    assert sim.engine.sweep_k >= 2, sim.engine.sweep_k
     assert sim.engine.sweep_lay.py == 16
     state = sim.prepare_state(up.copy(), uc.copy())
     key = next(iter(state))

@@ -154,9 +154,9 @@ class SimConfig:
     assume_uniform_m: bool | None = None
     # temporal fusion: timesteps computed per HBM pass (the reference's
     # unimplemented FDTD_TFUSE knob, main.cpp:266-276). 0 = auto (the v5
-    # sweep kernel at K=3 when the fast ring is active and all sources sit
-    # far enough inside the interior, else fused pairs, else unfused);
-    # 1 = no fusion (v4 packed); 2 = v4 fused pairs; 3/4 = v5 sweep at K.
+    # sweep kernel, K=4 when eligible, degrading with source placement /
+    # VMEM; else fused pairs, else unfused); 1 = no fusion (v4 packed);
+    # 2 = v4 fused pairs; 3..6 = v5 sweep at exactly K.
     t_fuse: int = 0
     # ring mode: "exact" = 3-buffer %3 ring, bit-faithful to the reference's
     # per-ring-level frozen rims for ANY ICs; "fast" = 2-buffer in-place

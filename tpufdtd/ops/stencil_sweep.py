@@ -76,9 +76,12 @@ FETCH_LEAD = 3
 def max_k_fuse(grid: Grid3D, px: int = 8, py: int = 8) -> int:
     """Largest supported fusion depth for pad geometry (px, py): stage-1's
     x fetch frontier needs px >= K*R; py >= 8 suffices for any K (stages
-    compute interior rows only; y rim rows are copied, not computed)."""
+    compute interior rows only; y rim rows are copied, not computed). The
+    ring geometry is K-independent (live spans: cur 2R+1+lead, stage
+    3R+1 per level), so the cap of 6 is a VMEM-pragmatics bound, not a
+    correctness one (K=5/6 oracle-verified in interpret mode)."""
     R = grid.radius
-    return max(1, min(px // R, 4)) if py >= 8 else 1
+    return max(1, min(px // R, 6)) if py >= 8 else 1
 
 
 def supported(grid: Grid3D, interpret: bool = False) -> bool:

@@ -129,7 +129,7 @@ class ShardedSimulator:
 
         self.sweep = SweepShard.try_build(grid, cfg, m, mesh, src_coords)
 
-        if cfg.backend == "pallas":
+        if cfg.backend == "pallas" and cfg.storage_dtype != "bfloat16":
             # per-shard Pallas leapfrog (interpret mode off-TPU); the halo
             # exchange stays in XLA collectives around the kernel call. The
             # kernel needs the TPU layout (8-aligned y pads); x pads are
@@ -142,6 +142,9 @@ class ShardedSimulator:
                 self.lgrid, cfg.dt, self.layout
             )
         else:
+            # jnp per-shard step; also the bf16-storage fallback when the
+            # sweep path is ineligible (f32 compute with per-step upcast,
+            # like the single-chip JnpEngine route)
             self.step_fn = stencil_jnp.make_step(self.lgrid, cfg.dt, self.layout)
         self._dy = self.layout.pad_lo[1] - self.h  # y shift vs reference
 
@@ -214,7 +217,7 @@ class ShardedSimulator:
         if term_arrays is None:
             return u
         ix, iy, iz, scale, sidx = term_arrays
-        vals = src_row[sidx] * scale
+        vals = (src_row[sidx] * scale).astype(u.dtype)
         return u.at[ix, iy, iz].add(vals, mode="drop")
 
     def _build_program(self):
@@ -283,7 +286,7 @@ class ShardedSimulator:
 
     # ---- host API ----------------------------------------------------------
 
-    def _shard(self, arr: np.ndarray):
+    def _shard(self, arr: np.ndarray, dtype=jnp.float32):
         stacked = shards_from_global(self.grid, self.ndev, np.asarray(arr))
         if not self.layout.is_reference:
             lxp = self.lnx + 2 * self.h
@@ -295,7 +298,7 @@ class ShardedSimulator:
                 axis=0,
             )
         sh = NamedSharding(self.mesh, P(self.axis))
-        return jax.device_put(jnp.asarray(stacked, jnp.float32), sh)
+        return jax.device_put(jnp.asarray(stacked, dtype), sh)
 
     @staticmethod
     def _rims_identical(arrs, h) -> bool:
@@ -316,12 +319,16 @@ class ShardedSimulator:
         ):
             U, zrT = self.sweep.prepare(np.asarray(u_prev), np.asarray(u_cur))
             return {"sweep": (U, zrT)}, None, None
-        state = (
-            self._shard(u_prev),
-            self._shard(u_cur),
-            self._shard(ut),
+        sdt = (
+            jnp.bfloat16 if self.cfg.storage_dtype == "bfloat16"
+            else jnp.float32
         )
-        m_sh = self._shard(m)
+        state = (
+            self._shard(u_prev, sdt),
+            self._shard(u_cur, sdt),
+            self._shard(ut, sdt),
+        )
+        m_sh = self._shard(m)  # medium stays f32 (feeds f32 compute)
         packed = None
         if self.packed_terms is not None:
             sh = NamedSharding(self.mesh, P(self.axis))
@@ -348,7 +355,7 @@ class ShardedSimulator:
             return self.sweep.extract(U, zrT)
         out = []
         for x in state:
-            x = np.asarray(x)
+            x = np.asarray(jnp.asarray(x, jnp.float32))
             if not self.layout.is_reference:
                 lxp_t = self.lnx + 2 * self.layout.pad_lo[0]
                 x = np.concatenate(

@@ -87,7 +87,11 @@ class SweepShard:
             return None
         if cfg.ring not in ("auto", "fast"):
             return None
-        if cfg.storage_dtype != "float32":
+        bf16 = cfg.storage_dtype == "bfloat16"
+        if cfg.storage_dtype not in ("float32", "bfloat16"):
+            return None
+        if bf16 and grid.ny % 16 != 0:
+            # bf16 (16, 128) tile needs 16-aligned interior rows (py = 16)
             return None
         m_np = np.asarray(m_ref, np.float32)
         uniform = cfg.assume_uniform_m
@@ -104,14 +108,15 @@ class SweepShard:
             return None
         want = 3 if cfg.t_fuse == 0 else min(cfg.t_fuse, 3)
         k_sel = 0
+        py = 16 if bf16 else 8
         for k in range(want, 1, -1):
             if nxl < k * R or (k - 1) * R > h:
                 continue
             ge = dataclasses.replace(grid, nx=nxl + 2 * (k - 1) * R)
             px = max(h, k * R)
             if (
-                k <= stencil_sweep.max_k_fuse(ge, px)
-                and stencil_sweep.vmem_bytes(ge, k, px)
+                k <= stencil_sweep.max_k_fuse(ge, px, py)
+                and stencil_sweep.vmem_bytes(ge, k, px, py, bf16)
                 <= stencil_sweep.VMEM_BUDGET
             ):
                 k_sel = k
@@ -170,10 +175,12 @@ class SweepShard:
         self._sweep = stencil_sweep
         self._interpret = jax.default_backend() != "tpu"
 
+        self.bf16 = cfg.storage_dtype == "bfloat16"
         self.lgrid = dataclasses.replace(grid, nx=self.nxl + 2 * self.M)
         ze = stencil_sweep.z_embedded(grid)
         self.lay = ZSplitLayout(
-            self.lgrid, py=8, xpad=max(self.h, K * self.R), z_embed=ze
+            self.lgrid, py=16 if self.bf16 else 8,
+            xpad=max(self.h, K * self.R), z_embed=ze,
         )
         self.packed_entries = self._distribute_entries(entries)
         self._build_program()
@@ -244,14 +251,17 @@ class SweepShard:
         zrT = np.concatenate(zrts)
         shU = NamedSharding(self.mesh, P(None, self.axis))
         shz = NamedSharding(self.mesh, P(self.axis))
+        sdt = jnp.bfloat16 if self.bf16 else jnp.float32
         return (
-            jax.device_put(jnp.asarray(U, jnp.float32), shU),
+            jax.device_put(jnp.asarray(U, sdt), shU),
+            # z rim stays f32 even under bf16 storage (feeds f32 compute)
             jax.device_put(jnp.asarray(zrT, jnp.float32), shz),
         )
 
     def extract(self, U, zrT) -> Tuple[np.ndarray, np.ndarray]:
-        """Device state -> global reference-layout (u_{N-1}, u_N)."""
-        U = np.asarray(U)
+        """Device state -> global reference-layout (u_{N-1}, u_N); always
+        f32 host-side (bf16 storage widens here)."""
+        U = np.asarray(jnp.asarray(U, jnp.float32))
         zrT = np.asarray(zrT)
         nxp_l = self.lay.core_shape[0]
         g, h, M, nxl = self.grid, self.h, self.M, self.nxl
@@ -328,9 +338,9 @@ class SweepShard:
             kk-1-j (entries with j out of range masked to zero)."""
             lix, liy, liz, val, jj, pp = ent
             v1 = val * s_blk[jnp.clip(kk - jj, 0), pp] * (jj <= kk)
-            U = U.at[1, lix, liy, liz].add(v1, mode="drop")
+            U = U.at[1, lix, liy, liz].add(v1.astype(U.dtype), mode="drop")
             v0 = val * s_blk[jnp.clip(kk - 1 - jj, 0), pp] * (jj <= kk - 1)
-            U = U.at[0, lix, liy, liz].add(v0, mode="drop")
+            U = U.at[0, lix, liy, liz].add(v0.astype(U.dtype), mode="drop")
             return U
 
         def local(U, zrT, ent, srct, nsteps):

@@ -168,8 +168,8 @@ class ZSplitEngine:
 
         self.sweep_k = 0
         bf16 = cfg.storage_dtype == "bfloat16"
-        want = cfg.t_fuse in (0, 3, 4)
-        explicit = cfg.t_fuse in (3, 4)
+        want = cfg.t_fuse == 0 or cfg.t_fuse >= 3
+        explicit = cfg.t_fuse >= 3
         ok = want and self.fast_capable and stencil_sweep.supported(
             grid, self._interpret
         )
@@ -183,7 +183,11 @@ class ZSplitEngine:
                     " order <= 4 (radius <= 2), and nx >= 2*radius"
                 )
             return
-        k_req = 3 if cfg.t_fuse == 0 else cfg.t_fuse
+        # auto depth: K=4 wins at every measured size (512^3: 126.7% vs
+        # 114.0% of the 12 B model; 192^3: 129.8% vs 105.0%; 128^3: 63.1%
+        # vs 52.1% — scripts/prof_sweep2.py, round 2); pick_k_fuse degrades
+        # when the stage rings exceed the VMEM budget
+        k_req = 4 if cfg.t_fuse == 0 else cfg.t_fuse
         k = stencil_sweep.pick_k_fuse(grid, k_req, bf16=bf16)
         if explicit and k != cfg.t_fuse:
             raise ValueError(
@@ -199,40 +203,49 @@ class ZSplitEngine:
             # measured: at 32^3 the sweep's pipeline fill/drain (12-plane
             # prologue vs 32 planes) loses to the packed engine
             return
-        ze = stencil_sweep.z_embedded(grid)
-        self.sweep_lay = _ZS(
-            grid, py=16 if bf16 else 8,
-            xpad=max(grid.halo, k * grid.radius), z_embed=ze,
-        )
-        ref_term = build_source_term(grid, self._coords, m_ref)
-        s_core, s_zrim = split_source_term(ref_term, self.sweep_lay)
-        if bool(np.any(s_zrim.scale != 0)):
-            if explicit:
-                raise ValueError(
-                    "t_fuse>=3 requires source trilinear corners clear of the"
-                    " z rim (move sources at least one cell off the z faces)"
-                )
+        # auto mode degrades K when the source correction cubes only fit a
+        # shallower fusion (deeper K spreads each deposit radius*(K-1)+1
+        # cells); explicit t_fuse requires its exact depth or raises
+        ks = [k] if explicit else list(range(k, 1, -1))
+        for k_try in ks:
+            ze = stencil_sweep.z_embedded(grid)
+            lay = _ZS(
+                grid, py=16 if bf16 else 8,
+                xpad=max(grid.halo, k_try * grid.radius), z_embed=ze,
+            )
+            ref_term = build_source_term(grid, self._coords, m_ref)
+            s_core, s_zrim = split_source_term(ref_term, lay)
+            if bool(np.any(s_zrim.scale != 0)):
+                if explicit:
+                    raise ValueError(
+                        "t_fuse>=3 requires source trilinear corners clear of"
+                        " the z rim (move sources at least one cell off the z"
+                        " faces)"
+                    )
+                return  # z-rim deposits rule out every fused depth
+            cubes = injection_cubes_upto(
+                grid, s_core, self.m_val, cfg.dt, kmax=k_try
+            )
+            all_cubes = [c for j in cubes for c in cubes[j]]
+            if not cubes_fit_core(
+                all_cubes, lay.core_shape, lay.px, lay.py, grid.nz,
+                z0=grid.halo if ze else 0,
+            ):
+                if explicit:
+                    raise ValueError(
+                        "t_fuse>=3 requires sources far enough inside the"
+                        f" interior (radius*{k_try - 1}+2 cells)"
+                    )
+                continue
+            self.sweep_k = k_try
+            self.sweep_lay = lay
+            self.sweep_term = s_core
+            self.sweep_cubes = {
+                j: [(sl, jnp.asarray(cb), p) for sl, cb, p in cubes[j]]
+                for j in cubes
+            }
+            self._sweep = stencil_sweep
             return
-        cubes = injection_cubes_upto(grid, s_core, self.m_val, cfg.dt, kmax=k)
-        all_cubes = [c for j in cubes for c in cubes[j]]
-        if not cubes_fit_core(
-            all_cubes, self.sweep_lay.core_shape, self.sweep_lay.px,
-            self.sweep_lay.py, grid.nz,
-            z0=grid.halo if ze else 0,
-        ):
-            if cfg.t_fuse in (3, 4):
-                raise ValueError(
-                    "t_fuse>=3 requires sources far enough inside the interior"
-                    f" (radius*{k - 1}+2 cells)"
-                )
-            return
-        self.sweep_k = k
-        self.sweep_term = s_core
-        self.sweep_cubes = {
-            j: [(sl, jnp.asarray(cb), p) for sl, cb, p in cubes[j]]
-            for j in cubes
-        }
-        self._sweep = stencil_sweep
 
     @property
     def m_args(self):
@@ -598,7 +611,7 @@ def make_engine(
                 eng = ZSplitEngine(grid, cfg, m_ref, coords)
                 if eng.sweep_k:
                     return eng
-            if cfg.t_fuse in (3, 4):
+            if cfg.t_fuse >= 3:
                 raise ValueError(
                     "t_fuse>=3 with bfloat16 storage requires the sweep"
                     " engine: uniform m, ny % 16 == 0, order <= 4, and"
