@@ -45,7 +45,7 @@ def run_case(nx, ny, nz, K, nsteps, seed=0):
     import jax.numpy as jnp
 
     U = jnp.asarray(np.stack([p_core, c_core]))
-    zrT = jnp.asarray(sw.transpose_zrim(p_zrim))
+    zrT = jnp.asarray(sw.pad_zrim(p_zrim))
 
     done = 0
     cur = 1
@@ -61,7 +61,7 @@ def run_case(nx, ny, nz, K, nsteps, seed=0):
             cur = 1 - cur
         done += k
 
-    zr = sw.untranspose_zrim(np.asarray(zrT))
+    zr = np.asarray(zrT)[:, :, : 2 * grid.halo]
     got_prev = lay.join(np.asarray(U[1 - cur]), zr)
     got_cur = lay.join(np.asarray(U[cur]), zr)
 

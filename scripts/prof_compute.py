@@ -34,7 +34,7 @@ def build(grid, iters, ny, nyp, nz):
     def kern(planes_ref, zrT_ref, out_ref):
         def body(i, prev):
             planes = tuple(planes_ref[j] for j in range(5))
-            return leap(planes, prev, zrT_ref, 8, ny)
+            return leap(planes, prev, zrT_ref[...], 8, ny)
 
         out_ref[8 : 8 + ny, :] = jax.lax.fori_loop(
             0, iters, body, planes_ref[2][8 : 8 + ny, :], unroll=False
@@ -67,7 +67,7 @@ def main():
     nyp = ny + 16
     rng = np.random.default_rng(0)
     planes = jnp.asarray(rng.standard_normal((5, nyp, nz)).astype(np.float32))
-    zrT = jnp.asarray(rng.standard_normal((8, nyp)).astype(np.float32))
+    zrT = jnp.asarray(rng.standard_normal((nyp, 8)).astype(np.float32))
 
     N1, N2 = 64, 512
     f1 = jax.jit(lambda p, z: build(grid, N1, ny, nyp, nz)(p, z))

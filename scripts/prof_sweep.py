@@ -49,7 +49,7 @@ def main():
         p_core, p_zrim = lay.split(up)
         c_core, _ = lay.split(uc)
         U = jnp.asarray(np.stack([p_core, c_core]))
-        zrT = jnp.asarray(sw.transpose_zrim(p_zrim))
+        zrT = jnp.asarray(sw.pad_zrim(p_zrim))
 
         if K == 1:
             print("K=1 parity unsupported in this probe; skip")

@@ -54,7 +54,7 @@ def main():
         p_core, p_zrim = lay.split(up)
         c_core, _ = lay.split(uc)
         U0 = np.stack([p_core, c_core])
-        zrT = jnp.asarray(p_zrim if ze else sw.transpose_zrim(p_zrim))
+        zrT = jnp.asarray(p_zrim if ze else sw.pad_zrim(p_zrim))
 
         def chain(U, z, n_calls):
             def body(u, _):

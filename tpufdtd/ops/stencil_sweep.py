@@ -30,10 +30,17 @@ frozen cur planes, stage y-rim rows are masked back to cur, z rims come from
 the shared (read-only) rim array, and source injection is corrected by the
 caller via linear superposition (sources.injection_propagation_cubes).
 
-The z rim is carried TRANSPOSED as zrimT[nxp, 2h, nyp] so its lane dimension
-is nyp rather than 2h=8 (a 2h-lane array would be (8,128)-tile padded 16x in
-both HBM and VMEM); the whole rim then fits VMEM as one block (~10 MB at
-512^3) and the kernel pays only two tiny (d, rows) transposes per plane.
+The z rim stays in the reference row orientation (lane-padded to
+zrim[nxp, nyp, ZR_LANES], see `pad_zrim`) in HBM and is DMA'd
+plane-by-plane into a small VMEM ring alongside the cur planes, so the
+leap slices rim columns directly with no transposes at all. (Round 1
+carried the whole rim VMEM-resident transposed as [nxp, 2h, nyp] to dodge
+the 16x (8,128)-tile padding of a 2h-lane block; the per-leap (2h, nyp) ->
+(nyp, 2h) transposes that design required measured 17% of the whole step
+at 512^3 — scripts/prof_leap ablation, round 2. The ring costs ~0.17 ms of
+fully-overlapped DMA per fused call and frees the ~10 MB rim block.) The
+8-slot ring covers fetch lead 1 plus the stage-K read trail R*(K-1), which
+bounds zrT-mode fusion at R*(K-1) <= ZR_RING - 2 (K <= 4 for order 4).
 
 Uniform-medium fast path only (m is a compile-time scalar) — the regime of
 the reference benchmark (m = 1.5 everywhere, main.cpp:352); non-uniform m
@@ -70,18 +77,32 @@ CUR_RING = 8  # power of two >= 2R + 1 + FETCH_LEAD
 PREV_RING = 4  # power of two >= 1 + FETCH_LEAD
 STAGE_RING = 8  # power of two >= 2R + 1 (+ pipeline skew slack)
 OUT_RING = 4
+ZR_RING = 8  # z-rim planes: fetch lead 1 + stage-K trail R*(K-1) + 1 slack
+ZR_LANES = 128  # rim planes carry 2h rim columns in a lane-tile-wide block
 FETCH_LEAD = 3
+
+
+def pad_zrim(zrim: np.ndarray) -> np.ndarray:
+    """[nxp, nyp, 2h] reference rim -> lane-padded [nxp, nyp, ZR_LANES]
+    (Mosaic only DMAs lane extents that are tile multiples; the padding
+    lanes are dead — same bytes on the wire, HBM tiles pad them anyway)."""
+    zrim = np.asarray(zrim)
+    out = np.zeros(zrim.shape[:2] + (ZR_LANES,), zrim.dtype)
+    out[:, :, : zrim.shape[2]] = zrim
+    return out
 
 
 def max_k_fuse(grid: Grid3D, px: int = 8, py: int = 8) -> int:
     """Largest supported fusion depth for pad geometry (px, py): stage-1's
     x fetch frontier needs px >= K*R; py >= 8 suffices for any K (stages
     compute interior rows only; y rim rows are copied, not computed). The
-    ring geometry is K-independent (live spans: cur 2R+1+lead, stage
-    3R+1 per level), so the cap of 6 is a VMEM-pragmatics bound, not a
-    correctness one (K=5/6 oracle-verified in interpret mode)."""
+    cap of 6 is a VMEM-pragmatics bound; zrT-mode grids are further capped
+    by the z-rim ring reuse distance: the slot a fetch overwrites was last
+    read R*(K-1) + 1 iterations earlier, so R*(K-1) <= ZR_RING - 2
+    (K <= 4 for radius 2; z_embed grids carry the rim in-core and keep 6)."""
     R = grid.radius
-    return max(1, min(px // R, 6)) if py >= 8 else 1
+    cap = 6 if z_embedded(grid) else min(6, (ZR_RING - 2) // R + 1)
+    return max(1, min(px // R, cap)) if py >= 8 else 1
 
 
 def supported(grid: Grid3D, interpret: bool = False) -> bool:
@@ -129,8 +150,8 @@ def vmem_bytes(grid: Grid3D, K: int, px: int, py: int = 8,
     if z_embedded(grid):
         zrt = 8 * 128 * 4  # placeholder block only
     else:
-        lanes = -(-nyp // 128) * 128  # zrT lanes padded to the 128 tile
-        zrt = nxp * 2 * grid.halo * lanes * 4
+        # z-rim ring: (nyp, ZR_LANES) lane-padded rim planes
+        zrt = ZR_RING * nyp * ZR_LANES * 4
     stage = (K - 1) * STAGE_RING * plane if K > 1 else 8 * 128 * 4
     # bf16: the f32 shadow ring the cur planes are widened into
     cur32 = CUR_RING * plane if bf16 else 0
@@ -164,21 +185,21 @@ def pick_k_fuse(grid: Grid3D, want: int, bf16: bool = False) -> int:
 
 def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True,
                z_embed: bool = False):
-    """leap(planes, prev, zrT, y0, ylen) -> (ylen, width) update.
+    """leap(planes, prev, zrp, y0, ylen) -> (ylen, width) update.
 
     planes = (cm2, cm1, c, cp1, cp2) full (nyp, width) x-neighbor planes;
     prev: (ylen, width) previous-time plane rows. Mirrors openacc.cpp:102-107
     term-for-term.
 
     Two z-rim modes:
-    - zrT mode (width == nz): zrT is this plane's frozen z rim (2h, nyp),
-      transposed once and column-sliced per distance; z neighbors are
-      concats of the interior with rim columns.
+    - rim-ring mode (width == nz): zrp is this plane's frozen z rim as a
+      (nyp, 2h) ring plane; z neighbors are concats of the interior with
+      its column slices (no transposes — the rim arrives row-oriented).
     - z_embed mode (width = round_up(nz + 2h, 128)): the rim lives inside
       the plane at lanes [0:h] / [h+nz:2h+nz] (dead zero lanes beyond), so
       z neighbors are plain lane shifts with zero fill; non-interior lanes
       of the update are masked back to the cur plane (frozen rim; dead
-      lanes stay exactly 0). zrT is ignored.
+      lanes stay exactly 0). zrp is ignored.
     """
     R = grid.radius
     h = grid.halo
@@ -227,18 +248,18 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True,
         interior = jnp.logical_and(lane >= h, lane < h + nz)
         return jnp.where(interior, upd, c)
 
-    def get_zr(zrT, y0: int, y1: int):
+    def get_zr(zrp, y0: int, y1: int):
         if z_embed:
             return None
-        return jnp.transpose(zrT[...], (1, 0))[y0:y1, :]  # (ylen, 2h)
+        return zrp[y0:y1, :]  # (ylen, 2h) rim-ring plane rows
 
-    def leap_exact(planes, prev, zrT, y0: int, ylen: int):
+    def leap_exact(planes, prev, zrp, y0: int, ylen: int):
         """u_next in the reference's exact algebraic form
         (openacc.cpp:102-107), term-for-term."""
         cm2, cm1, cy, cp1, cp2 = planes
         y1 = y0 + ylen
         c = cy[y0:y1, :]
-        zr = get_zr(zrT, y0, y1)
+        zr = get_zr(zrp, y0, y1)
         r5 = W[0] * c
         tx, ty, tz = r5, r5, r5
         xs = {1: (cm1, cp1), 2: (cm2, cp2)}
@@ -256,7 +277,7 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True,
         )
         return finish(upd, c, ylen)
 
-    def leap_isotropic(planes, prev, zrT, y0: int, ylen: int):
+    def leap_isotropic(planes, prev, zrp, y0: int, ylen: int):
         """Same update for hx == hy == hz with one fused accumulator: the
         axis sums share the 1/h^2 factor, saving ~1/3 of the VPU ops.
         Differs from leap_exact only in fp association order (gated by the
@@ -264,7 +285,7 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True,
         cm2, cm1, cy, cp1, cp2 = planes
         y1 = y0 + ylen
         c = cy[y0:y1, :]
-        zr = get_zr(zrT, y0, y1)
+        zr = get_zr(zrp, y0, y1)
         acc = (np.float32(3.0) * W[0]) * c
         xs = {1: (cm1, cp1), 2: (cm2, cp2)}
         for d in range(R, 0, -1):
@@ -285,16 +306,18 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True,
 
 def _sweep_kernel(
     u_hbm,
-    zrT_ref,
+    zr_hbm,
     out_hbm,
     cur_ring,
     cur32_ring,
     prev_ring,
     stage_ring,
     out_ring,
+    zr_ring,
     sem_cur,
     sem_prev,
     sem_out,
+    sem_zr,
     *,
     grid: Grid3D,
     dt: float,
@@ -355,6 +378,23 @@ def _sweep_kernel(
             u_hbm.at[prev_lvl, q], prev_ring.at[slot], sem_prev.at[slot]
         )
 
+    # z-rim ring (rim-ring mode only): plane i's (nyp, 2h) frozen rim is
+    # fetched one iteration ahead of its stage-1 leap and stays live through
+    # the stage-K read R*(K-1) iterations later (slot reuse safety: the slot
+    # a fetch overwrites was last read one iteration earlier — see
+    # max_k_fuse). Issue/wait stay balanced at frozen-margin planes, whose
+    # leaps are skipped, so the slot semaphores never drift.
+    use_zr = not z_embed
+
+    def fetch_zr(i, slot: int):
+        return pltpu.make_async_copy(
+            zr_hbm.at[px + i], zr_ring.at[slot], sem_zr.at[slot]
+        )
+
+    def zr_at(d_back: int, k: int):
+        """Rim plane for interior index j - d_back, static ring slot."""
+        return zr_ring[(j0 + k - d_back) % ZR_RING]
+
     def write_out(lvl: int, slot: int, X):
         # lvl 0 -> u_{n+K-1} (new prev), lvl 1 -> u_{n+K} (new cur); for
         # K == 1 the single output overwrites the prev level (2-buffer ring).
@@ -375,6 +415,8 @@ def _sweep_kernel(
     n_pro_prev = min(FETCH_LEAD, nx)
     for a in range(n_pro_prev):
         fetch_prev(q_prev0 + a, (q_prev0 + a) % PREV_RING).start()
+    if use_zr and nx > 0:
+        fetch_zr(0, 0).start()  # planes 1..nx-1 issue inside the sweep
 
     # The x sweep runs in blocks of 8 unrolled iterations so that EVERY ring
     # slot index is a compile-time constant (8*b contributes 0 mod every ring
@@ -428,6 +470,10 @@ def _sweep_kernel(
         # planes (which skip the leap), or ring-slot semaphores drift
         if cond(None, "prev_wait"):
             fetch_prev(px + j, (px + j0 + k) % PREV_RING).wait()
+        if use_zr and cond(None, "zr_issue"):
+            fetch_zr(j + 1, (j0 + k + 1) % ZR_RING).start()
+        if use_zr and cond(None, "zr_wait"):
+            fetch_zr(j, (j0 + k) % ZR_RING).wait()
 
         def cur_at(d: int):  # cur plane at X1 + d, static slot
             return c32[(px + j0 + k + d) % CUR_RING]
@@ -444,8 +490,8 @@ def _sweep_kernel(
                 pv_rows = pv[py : py + ny, :]
                 if bf16:
                     pv_rows = pv_rows.astype(jnp.float32)
-                zrT1 = None if z_embed else zrT_ref[X1]
-                upd = leap(planes1, pv_rows, zrT1, py, ny)
+                zr1 = None if z_embed else zr_at(0, k)
+                upd = leap(planes1, pv_rows, zr1, py, ny)
             else:
                 # frozen margin plane: rims are identical across levels, so
                 # writing the cur value into the prev level is a no-op value-wise
@@ -466,8 +512,8 @@ def _sweep_kernel(
             pv_rows = pv[py : py + ny, :]
             if bf16:
                 pv_rows = pv_rows.astype(jnp.float32)
-            zrT1 = None if z_embed else zrT_ref[X1]
-            upd1 = leap(planes1, pv_rows, zrT1, py, ny)
+            zr1 = None if z_embed else zr_at(0, k)
+            upd1 = leap(planes1, pv_rows, zr1, py, ny)
             stage_ring[0, s1_slot, py : py + ny] = upd1
             stage_ring[0, s1_slot, 0:py] = cy1[0:py, :]
             stage_ring[0, s1_slot, py + ny :] = cy1[py + ny :, :]
@@ -491,8 +537,8 @@ def _sweep_kernel(
                         pvs = c32[(px + j0 + k - R) % CUR_RING]
                     else:
                         pvs = stage_ring[st - 3, ks]
-                    zrTs = None if z_embed else zrT_ref[Xs]
-                    upd = leap(planes, pvs[py : py + ny, :], zrTs, py, ny)
+                    zrs = None if z_embed else zr_at(R * (st - 1), k)
+                    upd = leap(planes, pvs[py : py + ny, :], zrs, py, ny)
                     stage_ring[st - 1, ks, py : py + ny] = upd
                     stage_ring[st - 1, ks, 0:py] = cyS[0:py, :]
                     stage_ring[st - 1, ks, py + ny :] = cyS[py + ny :, :]
@@ -509,8 +555,8 @@ def _sweep_kernel(
                         pvs = c32[(px + j0 + k - R) % CUR_RING]
                     else:
                         pvs = stage_ring[st - 3, ks]
-                    zrTs = None if z_embed else zrT_ref[Xs]
-                    upd = leap(planes, pvs[py : py + ny, :], zrTs, py, ny)
+                    zrs = None if z_embed else zr_at(R * (st - 1), k)
+                    upd = leap(planes, pvs[py : py + ny, :], zrs, py, ny)
                 else:
                     # frozen margin plane: pass the cur value through
                     upd = cyS[py : py + ny, :]
@@ -530,6 +576,10 @@ def _sweep_kernel(
             if site == "prev_issue":
                 return n_pro_prev <= j + FETCH_LEAD < nx
             if site == "prev_wait":
+                return 0 <= j < nx
+            if site == "zr_issue":
+                return 0 <= j < nx - 1  # plane j+1; plane 0 is prologue
+            if site == "zr_wait":
                 return 0 <= j < nx
             if site == "in1":
                 return fl <= j < nx - fh
@@ -589,7 +639,7 @@ def _sweep_kernel(
 )
 def sweep_fused(
     U: jnp.ndarray,
-    zrimT: jnp.ndarray,
+    zrim: jnp.ndarray,
     *,
     grid: Grid3D,
     dt: float,
@@ -608,7 +658,9 @@ def sweep_fused(
     output. For K == 1 `cur` names the input cur level and the output lands
     in level 1-cur (roles flip each call, like packed_step).
 
-    zrimT: transposed frozen z rim [nxp, 2h, nyp] (see module docstring).
+    zrim: frozen z rim, reference row orientation, lane-padded to
+    [nxp, nyp, ZR_LANES] f32 via `pad_zrim` (HBM resident, DMA'd per-plane
+    — see module docstring); ignored (placeholder) in z_embed mode.
 
     frozen_lo/frozen_hi freeze the first/last interior planes (copied, never
     leap-updated) — the edge-shard margins of the sharded sweep.
@@ -656,10 +708,18 @@ def sweep_fused(
             f"compiled mode needs the core z extent lane-tile aligned"
             f" (nz % 128 == 0); got {nz}"
         )
-    if not z_embed and zrimT.dtype != jnp.float32:
+    if not z_embed and zrim.dtype != jnp.float32:
         raise ValueError(
-            f"zrimT must be float32 (the z rim feeds f32 compute directly,"
-            f" even under bf16 storage); got {zrimT.dtype}"
+            f"zrim must be float32 (the z rim feeds f32 compute directly,"
+            f" even under bf16 storage); got {zrim.dtype}"
+        )
+    if not z_embed and tuple(zrim.shape) != (nxp, nyp, ZR_LANES):
+        raise ValueError(
+            f"zrim must be the lane-padded reference-orientation rim"
+            f" [nxp, nyp, ZR_LANES] = {(nxp, nyp, ZR_LANES)};"
+            f" got {tuple(zrim.shape)} — pass ZSplitLayout.split's rim"
+            f" through stencil_sweep.pad_zrim (the round-1 transposed"
+            f" zrimT layout is no longer accepted)"
         )
     if frozen_lo < 0 or frozen_hi < 0 or frozen_lo + frozen_hi > grid.nx:
         raise ValueError(
@@ -684,9 +744,14 @@ def sweep_fused(
             jnp.float32,
         ),
         pltpu.VMEM((2, OUT_RING, ny, nz), sdt),
+        pltpu.VMEM(
+            (1, 8, 128) if z_embed else (ZR_RING, nyp, ZR_LANES),
+            jnp.float32,
+        ),
         pltpu.SemaphoreType.DMA((CUR_RING,)),
         pltpu.SemaphoreType.DMA((PREV_RING,)),
         pltpu.SemaphoreType.DMA((2, OUT_RING)),
+        pltpu.SemaphoreType.DMA((ZR_RING,)),
     ]
     flops_per_pt = K * (3 * (grid.order + 1) * 2 + 6)
     bytes_pt = 8 if bf16 else 16  # 2 reads + 2 writes per call
@@ -700,7 +765,7 @@ def sweep_fused(
         grid=(),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(U.shape, U.dtype),
@@ -711,13 +776,4 @@ def sweep_fused(
             has_side_effects=True, vmem_limit_bytes=vmem_limit
         ),
         interpret=interpret,
-    )(U, zrimT)
-
-
-def transpose_zrim(zrim: np.ndarray) -> np.ndarray:
-    """[nxp, nyp, 2h] -> sweep layout [nxp, 2h, nyp]."""
-    return np.ascontiguousarray(np.transpose(np.asarray(zrim), (0, 2, 1)))
-
-
-def untranspose_zrim(zrimT: np.ndarray) -> np.ndarray:
-    return np.ascontiguousarray(np.transpose(np.asarray(zrimT), (0, 2, 1)))
+    )(U, zrim)

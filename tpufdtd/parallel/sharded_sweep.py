@@ -245,7 +245,7 @@ class SweepShard:
             cores_c.append(c_core)
             zrts.append(
                 p_zrim if self.lay.z_embed
-                else self._sweep.transpose_zrim(p_zrim)
+                else self._sweep.pad_zrim(p_zrim)  # lane-padded rim planes
             )
         U = np.stack([np.concatenate(cores_p), np.concatenate(cores_c)])
         zrT = np.concatenate(zrts)
@@ -272,7 +272,7 @@ class SweepShard:
                 core = U[lvl, d * nxp_l : (d + 1) * nxp_l]
                 zr = zrT[d * nxp_l : (d + 1) * nxp_l]
                 if not self.lay.z_embed:
-                    zr = self._sweep.untranspose_zrim(zr)
+                    zr = zr[:, :, : 2 * self.h]  # drop pad lanes
                 slab = self.lay.join(core, zr)
                 if d == 0:
                     parts.append(slab[M : M + h])  # global lo x rim

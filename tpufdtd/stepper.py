@@ -298,16 +298,18 @@ class ZSplitEngine:
             p_core, p_zrim = self.sweep_lay.split(np.asarray(u_prev))
             c_core, _ = self.sweep_lay.split(np.asarray(u_cur))
             U = np.stack([p_core, c_core])  # levels [prev, cur], cur = 1
-            zrT = (
-                p_zrim  # z_embed: placeholder block, kernel ignores it
+            # z rim stays reference-row-oriented, lane-padded for the
+            # kernel's per-plane DMA ring, and f32 even under bf16 storage
+            # (feeds f32 compute); in z_embed mode it is a placeholder
+            zr = (
+                p_zrim
                 if self.sweep_lay.z_embed
-                else self._sweep.transpose_zrim(p_zrim)
+                else self._sweep.pad_zrim(p_zrim)
             )
-            # z rim stays f32 even under bf16 storage (feeds f32 compute)
             return {
                 "sweep_1": (
                     jnp.asarray(U, dtype=_storage_dtype(self.cfg)),
-                    jnp.asarray(zrT, dtype=jnp.float32),
+                    jnp.asarray(zr, dtype=jnp.float32),
                 )
             }
         if self.cfg.storage_dtype == "bfloat16":
@@ -353,11 +355,9 @@ class ZSplitEngine:
             if key.startswith("sweep"):
                 U, zrT = state[key]
                 cur = int(key.split("_")[1])
-                zr = (
-                    np.asarray(zrT)  # z_embed: unused by join
-                    if self.sweep_lay.z_embed
-                    else self._sweep.untranspose_zrim(np.asarray(zrT))
-                )
+                zr = np.asarray(zrT)
+                if not self.sweep_lay.z_embed:
+                    zr = zr[:, :, : 2 * self.grid.halo]  # drop pad lanes
                 # host-facing arrays are always f32 (bf16 storage widens here)
                 Uf = np.asarray(jnp.asarray(U, jnp.float32))
                 return (
