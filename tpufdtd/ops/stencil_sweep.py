@@ -81,6 +81,27 @@ ZR_RING = 8  # z-rim planes: fetch lead 1 + stage-K trail R*(K-1) + 1 slack
 ZR_LANES = 128  # rim planes carry 2h rim columns in a lane-tile-wide block
 FETCH_LEAD = 3
 
+# Ring geometry profiles (cur, prev, out, zr, fetch_lead, unroll). Slot-index
+# staticness requires every ring size to divide the unroll factor or vice
+# versa; DMA slot-reuse safety requires cur >= R + lead + 3 and prev > lead
+# (see _sweep_kernel). The deep profile doubles the rings and the fetch lead
+# for SMALL planes, where per-iteration compute (~tens of vregs) is too short
+# to hide the fixed DMA issue latency — the bubbles, not VPU work, dominate
+# sub-256^3 step time. Selected by plane size in _ring_profile; the
+# `ring_profile` argument of sweep_fused overrides for experiments.
+PROFILE_STD = (CUR_RING, PREV_RING, OUT_RING, ZR_RING, FETCH_LEAD, 8)
+PROFILE_DEEP = (16, 16, 8, 16, 8, 16)
+DEEP_PLANE_BYTES = 384 * 1024  # deep profile for f32 planes up to ~256^3
+
+
+def _ring_profile(grid: Grid3D, py: int = 8, name: str = "auto"):
+    if name == "std":
+        return PROFILE_STD
+    if name == "deep":
+        return PROFILE_DEEP
+    plane = (grid.ny + 2 * py) * core_nz(grid) * 4
+    return PROFILE_DEEP if plane <= DEEP_PLANE_BYTES else PROFILE_STD
+
 
 def pad_zrim(zrim: np.ndarray) -> np.ndarray:
     """[nxp, nyp, 2h] reference rim -> lane-padded [nxp, nyp, ZR_LANES]
@@ -143,6 +164,7 @@ def vmem_bytes(grid: Grid3D, K: int, px: int, py: int = 8,
     ny, nz = grid.ny, core_nz(grid)
     nyp = ny + 2 * py
     nxp = grid.nx + 2 * px
+    cur_n, prev_n, out_n, zr_n, _lead, _unroll = _ring_profile(grid, py)
     esz = 2 if bf16 else 4
     plane = nyp * nz * 4  # f32 compute plane
     plane_s = nyp * nz * esz  # storage-dtype plane (DMA rings)
@@ -151,20 +173,20 @@ def vmem_bytes(grid: Grid3D, K: int, px: int, py: int = 8,
         zrt = 8 * 128 * 4  # placeholder block only
     else:
         # z-rim ring: (nyp, ZR_LANES) lane-padded rim planes
-        zrt = ZR_RING * nyp * ZR_LANES * 4
+        zrt = zr_n * nyp * ZR_LANES * 4
     stage = (K - 1) * STAGE_RING * plane if K > 1 else 8 * 128 * 4
     # bf16: the f32 shadow ring the cur planes are widened into
-    cur32 = CUR_RING * plane if bf16 else 0
+    cur32 = cur_n * plane if bf16 else 0
     # Mosaic needs ~12-16 plane-sized scoped temporaries for the leap
     # expression on top of the declared scratch (measured: 132.2 MB actual
     # vs 103 MB declared at 768^3 K=3)
     temporaries = 13 * plane
     return (
-        CUR_RING * plane_s
+        cur_n * plane_s
         + cur32
-        + PREV_RING * plane_s
+        + prev_n * plane_s
         + stage
-        + 2 * OUT_RING * out_plane
+        + 2 * out_n * out_plane
         + zrt
         + temporaries
     )
@@ -331,14 +353,25 @@ def _sweep_kernel(
     frozen_lo: int = 0,
     frozen_hi: int = 0,
     bf16: bool = False,
+    rings=PROFILE_STD,
 ):
     """frozen_lo/frozen_hi: interior planes [0, frozen_lo) and
     [nx - frozen_hi, nx) are treated as frozen (copied through every stage,
     never leap-updated). Used by the sharded sweep for edge shards whose
     extended-interior margin overlays the global frozen x rim — the margin
     must stay bit-frozen through all K stages or stage reads near the true
-    interior edge would see leap-updated rim values (parallel/sharded.py)."""
+    interior edge would see leap-updated rim values (parallel/sharded.py).
+
+    rings: (cur, prev, out, zr, fetch_lead, unroll) ring geometry; the local
+    names below shadow the module-level std constants. DMA slot-reuse safety
+    (fetch into a slot strictly after its previous plane's last read):
+    cur >= R + fetch_lead + 3, prev > fetch_lead, zr >= R*(K-1) + 2."""
+    CUR_RING, PREV_RING, OUT_RING, ZR_RING, FETCH_LEAD, UNROLL = rings
     R = grid.radius
+    assert CUR_RING >= R + FETCH_LEAD + 3 and PREV_RING > FETCH_LEAD
+    assert K == 1 or ZR_RING >= R * (K - 1) + 2
+    for ring in (CUR_RING, PREV_RING, OUT_RING, ZR_RING, STAGE_RING):
+        assert ring % UNROLL == 0 or UNROLL % ring == 0, (ring, UNROLL)
     nx, ny, nz = grid.nx, grid.ny, grid.nz
     fl, fh = frozen_lo, frozen_hi
     nyp = ny + 2 * py
@@ -418,13 +451,11 @@ def _sweep_kernel(
     if use_zr and nx > 0:
         fetch_zr(0, 0).start()  # planes 1..nx-1 issue inside the sweep
 
-    # The x sweep runs in blocks of 8 unrolled iterations so that EVERY ring
-    # slot index is a compile-time constant (8*b contributes 0 mod every ring
-    # size): Mosaic then addresses the ring planes as direct views. With
-    # traced slot indices each access materializes a full-plane VMEM copy,
-    # which measured ~2.5x slower than the automatic block pipeline.
-    UNROLL = 8
-    assert CUR_RING % UNROLL == 0 or UNROLL % CUR_RING == 0
+    # The x sweep runs in blocks of UNROLL unrolled iterations so that EVERY
+    # ring slot index is a compile-time constant (UNROLL*b contributes 0 mod
+    # every ring size): Mosaic then addresses the ring planes as direct
+    # views. With traced slot indices each access materializes a full-plane
+    # VMEM copy, which measured ~2.5x slower than the automatic pipeline.
     n_blk = -(-n_iter // UNROLL)
 
     # Steady-state split: for t in [steady_lo, steady_hi) EVERY guard in the
@@ -634,7 +665,7 @@ def _sweep_kernel(
     jax.jit,
     static_argnames=(
         "grid", "dt", "m_val", "k_fuse", "cur", "interpret", "vmem_limit",
-        "frozen_lo", "frozen_hi",
+        "frozen_lo", "frozen_hi", "ring_profile",
     ),
 )
 def sweep_fused(
@@ -650,6 +681,7 @@ def sweep_fused(
     vmem_limit: int = 130 * 1024 * 1024,
     frozen_lo: int = 0,
     frozen_hi: int = 0,
+    ring_profile: str = "auto",
 ) -> jnp.ndarray:
     """K fused in-place leapfrog steps on packed U[2] = [u_{n-1}, u_n]
     (sweep-layout cores); returns U holding [u_{n+K-1}, u_{n+K}].
@@ -727,31 +759,33 @@ def sweep_fused(
             f" nx={grid.nx}"
         )
 
+    rings = _ring_profile(grid, py, ring_profile)
+    cur_n, prev_n, out_n, zr_n = rings[:4]
     kern = functools.partial(
         _sweep_kernel, grid=grid, dt=dt, m_val=m_val, K=K, px=px, py=py,
         cur=cur, use_roll=not interpret, z_embed=z_embed,
-        frozen_lo=frozen_lo, frozen_hi=frozen_hi, bf16=bf16,
+        frozen_lo=frozen_lo, frozen_hi=frozen_hi, bf16=bf16, rings=rings,
     )
     sdt = U.dtype
     scratch = [
-        pltpu.VMEM((CUR_RING, nyp, nz), sdt),
+        pltpu.VMEM((cur_n, nyp, nz), sdt),
         pltpu.VMEM(
-            (CUR_RING, nyp, nz) if bf16 else (1, 8, 128), jnp.float32
+            (cur_n, nyp, nz) if bf16 else (1, 8, 128), jnp.float32
         ),
-        pltpu.VMEM((PREV_RING, nyp, nz), sdt),
+        pltpu.VMEM((prev_n, nyp, nz), sdt),
         pltpu.VMEM(
             ((K - 1, STAGE_RING, nyp, nz) if K > 1 else (1, 1, 8, 128)),
             jnp.float32,
         ),
-        pltpu.VMEM((2, OUT_RING, ny, nz), sdt),
+        pltpu.VMEM((2, out_n, ny, nz), sdt),
         pltpu.VMEM(
-            (1, 8, 128) if z_embed else (ZR_RING, nyp, ZR_LANES),
+            (1, 8, 128) if z_embed else (zr_n, nyp, ZR_LANES),
             jnp.float32,
         ),
-        pltpu.SemaphoreType.DMA((CUR_RING,)),
-        pltpu.SemaphoreType.DMA((PREV_RING,)),
-        pltpu.SemaphoreType.DMA((2, OUT_RING)),
-        pltpu.SemaphoreType.DMA((ZR_RING,)),
+        pltpu.SemaphoreType.DMA((cur_n,)),
+        pltpu.SemaphoreType.DMA((prev_n,)),
+        pltpu.SemaphoreType.DMA((2, out_n)),
+        pltpu.SemaphoreType.DMA((zr_n,)),
     ]
     flops_per_pt = K * (3 * (grid.order + 1) * 2 + 6)
     bytes_pt = 8 if bf16 else 16  # 2 reads + 2 writes per call

@@ -191,8 +191,11 @@ class ZSplitEngine:
         k = stencil_sweep.pick_k_fuse(grid, k_req, bf16=bf16)
         if explicit and k != cfg.t_fuse:
             raise ValueError(
-                f"t_fuse={cfg.t_fuse} scratch exceeds the VMEM budget for"
-                f" this grid (fits K={k}); use t_fuse=0 for auto selection"
+                f"t_fuse={cfg.t_fuse} is not runnable on this grid (largest"
+                f" supported depth: K={k}): either the stage rings exceed the"
+                f" VMEM budget, or the z-rim ring caps depth at K=4 for"
+                f" nz % 128 == 0 grids (stencil_sweep.max_k_fuse); use"
+                f" t_fuse=0 for auto selection"
             )
         if k < 2:
             # K=1 sweeping (possible when VMEM only fits one stage) loses to
