@@ -269,3 +269,34 @@ def test_sweep_bf16_ny_not_16_falls_back_to_jnp():
     with pytest.raises(ValueError, match="bfloat16|bf16|ny % 16"):
         Simulator(g, tf.SimConfig(backend="pallas", t_fuse=3,
                                   storage_dtype="bfloat16"), m)
+
+
+def test_sweep_ring_profiles_bitwise_equal():
+    """The std and deep DMA ring geometries are pure pipelining changes:
+    identical arithmetic, so outputs must match BITWISE in both rim modes
+    (zrT nz=128 and z_embed)."""
+    import jax.numpy as jnp
+
+    from tpufdtd.layout import ZSplitLayout
+    from tpufdtd.ops import stencil_sweep as sw
+
+    for nz in (128, 32):  # rim-ring mode / z_embed mode
+        g = tf.Grid3D(14, 16, nz, hx=1.0, hy=1.0, hz=1.0)
+        K = 3
+        up, uc = _fast_ic(g, seed=5)
+        lay = ZSplitLayout(g, py=8, xpad=max(g.halo, K * g.radius),
+                           z_embed=sw.z_embedded(g))
+        p_core, p_zrim = lay.split(up)
+        c_core, _ = lay.split(uc)
+        U0 = jnp.asarray(np.stack([p_core, c_core]))
+        zr = jnp.asarray(
+            p_zrim if sw.z_embedded(g) else sw.pad_zrim(p_zrim),
+            jnp.float32,
+        )
+        outs = {}
+        for prof in ("std", "deep"):
+            outs[prof] = np.asarray(
+                sw.sweep_fused(U0, zr, grid=g, dt=0.001, m_val=1.5,
+                               k_fuse=K, interpret=True, ring_profile=prof)
+            )
+        assert np.array_equal(outs["std"], outs["deep"]), f"nz={nz}"
