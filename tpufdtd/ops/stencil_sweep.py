@@ -81,16 +81,17 @@ ZR_RING = 8  # z-rim planes: fetch lead 1 + stage-K trail R*(K-1) + 1 slack
 ZR_LANES = 128  # rim planes carry 2h rim columns in a lane-tile-wide block
 FETCH_LEAD = 3
 
-# Ring geometry profiles (cur, prev, out, zr, fetch_lead, unroll). Slot-index
-# staticness requires every ring size to divide the unroll factor or vice
-# versa; DMA slot-reuse safety requires cur >= R + lead + 3 and prev > lead
-# (see _sweep_kernel). The deep profile doubles the rings and the fetch lead
-# for SMALL planes, where per-iteration compute (~tens of vregs) is too short
-# to hide the fixed DMA issue latency — the bubbles, not VPU work, dominate
-# sub-256^3 step time. Selected by plane size in _ring_profile; the
-# `ring_profile` argument of sweep_fused overrides for experiments.
-PROFILE_STD = (CUR_RING, PREV_RING, OUT_RING, ZR_RING, FETCH_LEAD, 8)
-PROFILE_DEEP = (16, 16, 8, 16, 8, 16)
+# Ring geometry profiles (cur, prev, out, zr, fetch_lead, unroll, zr_lead).
+# Slot-index staticness requires every ring size to divide the unroll factor
+# or vice versa; DMA slot-reuse safety requires cur >= R + lead + 3,
+# prev > lead and zr >= R*(K-1) + 1 + zr_lead (see _sweep_kernel). The deep
+# profile doubles the rings and the fetch leads for SMALL planes, where
+# per-iteration compute (~tens of vregs) is too short to hide the fixed DMA
+# issue latency — the bubbles, not VPU work, dominate sub-256^3 step time.
+# Selected by plane size in _ring_profile; the `ring_profile` argument of
+# sweep_fused overrides for experiments.
+PROFILE_STD = (CUR_RING, PREV_RING, OUT_RING, ZR_RING, FETCH_LEAD, 8, 1)
+PROFILE_DEEP = (16, 16, 8, 16, 8, 16, 3)
 DEEP_PLANE_BYTES = 384 * 1024  # deep profile for f32 planes up to ~256^3
 
 
@@ -164,7 +165,7 @@ def vmem_bytes(grid: Grid3D, K: int, px: int, py: int = 8,
     ny, nz = grid.ny, core_nz(grid)
     nyp = ny + 2 * py
     nxp = grid.nx + 2 * px
-    cur_n, prev_n, out_n, zr_n, _lead, _unroll = _ring_profile(grid, py)
+    cur_n, prev_n, out_n, zr_n = _ring_profile(grid, py)[:4]
     esz = 2 if bf16 else 4
     plane = nyp * nz * 4  # f32 compute plane
     plane_s = nyp * nz * esz  # storage-dtype plane (DMA rings)
@@ -362,14 +363,15 @@ def _sweep_kernel(
     must stay bit-frozen through all K stages or stage reads near the true
     interior edge would see leap-updated rim values (parallel/sharded.py).
 
-    rings: (cur, prev, out, zr, fetch_lead, unroll) ring geometry; the local
-    names below shadow the module-level std constants. DMA slot-reuse safety
-    (fetch into a slot strictly after its previous plane's last read):
-    cur >= R + fetch_lead + 3, prev > fetch_lead, zr >= R*(K-1) + 2."""
-    CUR_RING, PREV_RING, OUT_RING, ZR_RING, FETCH_LEAD, UNROLL = rings
+    rings: (cur, prev, out, zr, fetch_lead, unroll, zr_lead) ring geometry;
+    the local names below shadow the module-level std constants. DMA
+    slot-reuse safety (fetch into a slot strictly after its previous plane's
+    last read): cur >= R + fetch_lead + 3, prev > fetch_lead,
+    zr >= R*(K-1) + 1 + zr_lead."""
+    CUR_RING, PREV_RING, OUT_RING, ZR_RING, FETCH_LEAD, UNROLL, ZL = rings
     R = grid.radius
     assert CUR_RING >= R + FETCH_LEAD + 3 and PREV_RING > FETCH_LEAD
-    assert K == 1 or ZR_RING >= R * (K - 1) + 2
+    assert K == 1 or ZR_RING >= R * (K - 1) + 1 + ZL
     for ring in (CUR_RING, PREV_RING, OUT_RING, ZR_RING, STAGE_RING):
         assert ring % UNROLL == 0 or UNROLL % ring == 0, (ring, UNROLL)
     nx, ny, nz = grid.nx, grid.ny, grid.nz
@@ -448,8 +450,10 @@ def _sweep_kernel(
     n_pro_prev = min(FETCH_LEAD, nx)
     for a in range(n_pro_prev):
         fetch_prev(q_prev0 + a, (q_prev0 + a) % PREV_RING).start()
-    if use_zr and nx > 0:
-        fetch_zr(0, 0).start()  # planes 1..nx-1 issue inside the sweep
+    # prologue rim planes 0..zr_lead-1; planes zr_lead..nx-1 issue in-sweep
+    if use_zr:
+        for a in range(min(ZL, nx)):
+            fetch_zr(a, a % ZR_RING).start()
 
     # The x sweep runs in blocks of UNROLL unrolled iterations so that EVERY
     # ring slot index is a compile-time constant (UNROLL*b contributes 0 mod
@@ -502,7 +506,7 @@ def _sweep_kernel(
         if cond(None, "prev_wait"):
             fetch_prev(px + j, (px + j0 + k) % PREV_RING).wait()
         if use_zr and cond(None, "zr_issue"):
-            fetch_zr(j + 1, (j0 + k + 1) % ZR_RING).start()
+            fetch_zr(j + ZL, (j0 + k + ZL) % ZR_RING).start()
         if use_zr and cond(None, "zr_wait"):
             fetch_zr(j, (j0 + k) % ZR_RING).wait()
 
@@ -609,7 +613,8 @@ def _sweep_kernel(
             if site == "prev_wait":
                 return 0 <= j < nx
             if site == "zr_issue":
-                return 0 <= j < nx - 1  # plane j+1; plane 0 is prologue
+                # plane j + zr_lead; planes < zr_lead are prologue-fetched
+                return 0 <= j < nx - ZL
             if site == "zr_wait":
                 return 0 <= j < nx
             if site == "in1":
