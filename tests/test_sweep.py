@@ -300,3 +300,62 @@ def test_sweep_ring_profiles_bitwise_equal():
                                k_fuse=K, interpret=True, ring_profile=prof)
             )
         assert np.array_equal(outs["std"], outs["deep"]), f"nz={nz}"
+
+
+def test_sweep_pair_bitwise():
+    """The paired-plane (pb=2) kernel batches two x-planes per vector op /
+    DMA with the per-element operation order unchanged, so its output must
+    match the per-plane kernel BITWISE — every K, both rim modes, and with
+    frozen x margins (the sharded edge-shard configuration)."""
+    import jax.numpy as jnp
+
+    from tpufdtd.layout import ZSplitLayout
+    from tpufdtd.ops import stencil_sweep as sw
+
+    for nz in (128, 32):  # rim-ring mode / z_embed mode
+        for K in (1, 2, 3):
+            for frozen in ((0, 0), (2, 4)):
+                g = tf.Grid3D(16, 16, nz, hx=1.0, hy=1.0, hz=1.0)
+                up, uc = _fast_ic(g, seed=7)
+                lay = ZSplitLayout(g, py=8, xpad=max(g.halo, max(K, 2) * g.radius),
+                                   z_embed=sw.z_embedded(g))
+                p_core, p_zrim = lay.split(up)
+                c_core, _ = lay.split(uc)
+                U0 = jnp.asarray(np.stack([p_core, c_core]))
+                zr = jnp.asarray(
+                    p_zrim if sw.z_embedded(g) else sw.pad_zrim(p_zrim),
+                    jnp.float32,
+                )
+                outs = {}
+                for pair in ("off", "on"):
+                    outs[pair] = np.asarray(
+                        sw.sweep_fused(U0, zr, grid=g, dt=0.001, m_val=1.5,
+                                       k_fuse=K, interpret=True, pair=pair,
+                                       frozen_lo=frozen[0], frozen_hi=frozen[1])
+                    )
+                assert np.array_equal(outs["off"], outs["on"]), \
+                    (nz, K, frozen)
+
+
+def test_sweep_pair_on_rejects_ineligible():
+    """pair='on' with odd nx must raise (chunking needs even nx/px/margins);
+    pair='auto' on the same grid silently runs the per-plane kernel."""
+    import jax.numpy as jnp
+
+    from tpufdtd.layout import ZSplitLayout
+    from tpufdtd.ops import stencil_sweep as sw
+
+    g = tf.Grid3D(15, 16, 128, hx=1.0, hy=1.0, hz=1.0)
+    up, uc = _fast_ic(g, seed=3)
+    lay = ZSplitLayout(g, py=8, xpad=max(g.halo, 2 * g.radius),
+                       z_embed=sw.z_embedded(g))
+    p_core, p_zrim = lay.split(up)
+    c_core, _ = lay.split(uc)
+    U0 = jnp.asarray(np.stack([p_core, c_core]))
+    zr = jnp.asarray(sw.pad_zrim(p_zrim), jnp.float32)
+    with pytest.raises(ValueError, match="pair"):
+        sw.sweep_fused(U0, zr, grid=g, dt=0.001, m_val=1.5, k_fuse=2,
+                       interpret=True, pair="on")
+    out = sw.sweep_fused(U0, zr, grid=g, dt=0.001, m_val=1.5, k_fuse=2,
+                         interpret=True, pair="auto")
+    assert np.isfinite(np.asarray(out)).all()

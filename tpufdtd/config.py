@@ -164,3 +164,8 @@ class SimConfig:
     # identical rims and no source touches a rim (always true for the
     # benchmark's zero ICs + interior sources); "auto" picks fast when legal
     ring: str = "auto"
+    # paired-plane sweep mode: "auto" batches two x-planes per vector op /
+    # DMA in the sweep kernel when eligible (radius 2, even nx, VMEM fits) —
+    # bitwise-identical output, ~2x fewer VPU op issues (the dominant cost
+    # for sub-256^2 planes); "off" forces per-plane, "on" requires pairing
+    pair: str = "auto"

@@ -111,6 +111,7 @@ def main(argv=None):
                 storage_dtype=rc.storage,
                 peaks=peaks,
                 t_fuse=rc.t_fuse,
+                pair=rc.pair,
             )
         if args.csv and os.path.exists(args.csv):
             print("\n=== Step 3: Results (benchmark.csv) ===")

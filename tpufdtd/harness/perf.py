@@ -82,6 +82,7 @@ def run_benchmark(
     verbose: bool = True,
     hbm_budget_frac: float = 0.6,
     t_fuse: int = 0,
+    pair: str = "auto",
 ):
     peaks = peaks or detect_peaks()
     is_optimized = method != "jnp"
@@ -111,6 +112,7 @@ def run_benchmark(
             backend=method if method in ("jnp", "pallas") else "pallas",
             storage_dtype=storage_dtype,
             t_fuse=t_fuse,
+            pair=pair,
         )
         if verbose:
             print(

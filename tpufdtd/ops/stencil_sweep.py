@@ -94,14 +94,26 @@ PROFILE_STD = (CUR_RING, PREV_RING, OUT_RING, ZR_RING, FETCH_LEAD, 8, 1)
 PROFILE_DEEP = (16, 16, 8, 16, 8, 16, 3)
 DEEP_PLANE_BYTES = 384 * 1024  # deep profile for f32 planes up to ~256^3
 
+# Paired-plane (pb=2) ring geometry, in CHUNK (2-plane) units. The stage
+# ring only needs 3 live chunks (+1 skew); DMA distances halve in chunk
+# units, so leads of 2/4 chunks match the std/deep plane leads.
+PAIR_STAGE_RING = 4
+PAIR_PROFILE_STD = (8, 4, 4, 8, 2, 8, 1)
+PAIR_PROFILE_DEEP = (8, 8, 4, 8, 4, 8, 2)
 
-def _ring_profile(grid: Grid3D, py: int = 8, name: str = "auto"):
+
+def _ring_profile(grid: Grid3D, py: int = 8, name: str = "auto",
+                  pb: int = 1):
+    deep_name, std_name = (
+        (PAIR_PROFILE_DEEP, PAIR_PROFILE_STD) if pb == 2
+        else (PROFILE_DEEP, PROFILE_STD)
+    )
     if name == "std":
-        return PROFILE_STD
+        return std_name
     if name == "deep":
-        return PROFILE_DEEP
+        return deep_name
     plane = (grid.ny + 2 * py) * core_nz(grid) * 4
-    return PROFILE_DEEP if plane <= DEEP_PLANE_BYTES else PROFILE_STD
+    return deep_name if plane <= DEEP_PLANE_BYTES else std_name
 
 
 def pad_zrim(zrim: np.ndarray) -> np.ndarray:
@@ -159,26 +171,31 @@ def bf16_supported(grid: Grid3D) -> bool:
 
 
 def vmem_bytes(grid: Grid3D, K: int, px: int, py: int = 8,
-               bf16: bool = False) -> int:
+               bf16: bool = False, pb: int = 1) -> int:
     """Scratch VMEM this kernel needs at fusion depth K (rings + the
-    lane-padded zrT block); used to pick the largest K that fits."""
+    lane-padded zrT block); used to pick the largest K that fits.
+
+    pb = 2: ring counts are in chunk units (x pb planes per slot), the
+    stage ring shrinks to PAIR_STAGE_RING chunks, and the leap's scoped
+    temporaries are chunk-sized."""
     ny, nz = grid.ny, core_nz(grid)
     nyp = ny + 2 * py
     nxp = grid.nx + 2 * px
-    cur_n, prev_n, out_n, zr_n = _ring_profile(grid, py)[:4]
+    cur_n, prev_n, out_n, zr_n = _ring_profile(grid, py, pb=pb)[:4]
     esz = 2 if bf16 else 4
-    plane = nyp * nz * 4  # f32 compute plane
-    plane_s = nyp * nz * esz  # storage-dtype plane (DMA rings)
-    out_plane = ny * nz * esz
+    plane = pb * nyp * nz * 4  # f32 compute slot (pb planes)
+    plane_s = pb * nyp * nz * esz  # storage-dtype slot (DMA rings)
+    out_plane = pb * ny * nz * esz
     if z_embedded(grid):
         zrt = 8 * 128 * 4  # placeholder block only
     else:
-        # z-rim ring: (nyp, ZR_LANES) lane-padded rim planes
-        zrt = zr_n * nyp * ZR_LANES * 4
-    stage = (K - 1) * STAGE_RING * plane if K > 1 else 8 * 128 * 4
+        # z-rim ring: (pb, nyp, ZR_LANES) lane-padded rim slots
+        zrt = zr_n * pb * nyp * ZR_LANES * 4
+    stage_ring_n = PAIR_STAGE_RING if pb == 2 else STAGE_RING
+    stage = (K - 1) * stage_ring_n * plane if K > 1 else 8 * 128 * 4
     # bf16: the f32 shadow ring the cur planes are widened into
     cur32 = cur_n * plane if bf16 else 0
-    # Mosaic needs ~12-16 plane-sized scoped temporaries for the leap
+    # Mosaic needs ~12-16 slot-sized scoped temporaries for the leap
     # expression on top of the declared scratch (measured: 132.2 MB actual
     # vs 103 MB declared at 768^3 K=3)
     temporaries = 13 * plane
@@ -207,8 +224,15 @@ def pick_k_fuse(grid: Grid3D, want: int, bf16: bool = False) -> int:
 
 
 def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True,
-               z_embed: bool = False):
+               z_embed: bool = False, pb: int = 1):
     """leap(planes, prev, zrp, y0, ylen) -> (ylen, width) update.
+
+    pb = 2 selects the chunked (paired-plane) form: every array carries a
+    leading pb axis ((pb, nyp, width) planes, (pb, ylen, width) prev/output)
+    and each vector op covers pb x-planes, halving the op count at constant
+    total work (the per-op fixed lowering overhead dominates small planes —
+    RESULTS.md VPU analysis). The per-element operation order is identical
+    to pb = 1, so outputs are bitwise equal.
 
     planes = (cm2, cm1, c, cp1, cp2) full (nyp, width) x-neighbor planes;
     prev: (ylen, width) previous-time plane rows. Mirrors openacc.cpp:102-107
@@ -324,7 +348,87 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True,
         upd = scale * acc + (np.float32(2.0) * c - prev)
         return finish(upd, c, ylen)
 
-    return leap_isotropic if uniform_h else leap_exact
+    if pb == 1:
+        return leap_isotropic if uniform_h else leap_exact
+
+    # ---- pb == 2: chunked (paired-plane) forms -----------------------------
+    # Same algebra on (pb, ., .) arrays; y shifts on axis 1, z on axis 2.
+    if use_roll:
+        def yshift3(cy, d: int, y0: int, y1: int):
+            nyp_l = cy.shape[1]
+            sh = d if d > 0 else nyp_l + d
+            return pltpu.roll(cy, sh, 1)[:, y0:y1, :]
+    else:
+        def yshift3(cy, d: int, y0: int, y1: int):
+            return cy[:, y0 - d : y1 - d, :]
+
+    def z_neighbors3(c, zr, d: int, ylen: int):
+        if z_embed:
+            zeros = jnp.zeros((pb, ylen, d), c.dtype)
+            zp = jnp.concatenate([c[:, :, d:], zeros], axis=2)
+            zm = jnp.concatenate([zeros, c[:, :, : c.shape[2] - d]], axis=2)
+            return zp, zm
+        zp = jnp.concatenate([c[:, :, d:], zr[:, :, h : h + d]], axis=2)
+        zm = jnp.concatenate([zr[:, :, h - d : h], c[:, :, : nz - d]], axis=2)
+        return zp, zm
+
+    def finish3(upd, c, ylen: int):
+        if not z_embed:
+            return upd
+        lane = jax.lax.broadcasted_iota(jnp.int32, (pb, ylen, c.shape[2]), 2)
+        interior = jnp.logical_and(lane >= h, lane < h + nz)
+        return jnp.where(interior, upd, c)
+
+    def get_zr3(zrp, y0: int, y1: int):
+        if z_embed:
+            return None
+        return zrp[:, y0:y1, :]
+
+    def leap3_exact(planes, prev, zrp, y0: int, ylen: int):
+        cm2, cm1, cy, cp1, cp2 = planes
+        y1 = y0 + ylen
+        c = cy[:, y0:y1, :]
+        zr = get_zr3(zrp, y0, y1)
+        r5 = W[0] * c
+        tx, ty, tz = r5, r5, r5
+        xs = {1: (cm1, cp1), 2: (cm2, cp2)}
+        for d in range(R, 0, -1):
+            xm, xp = xs[d]
+            tx = tx + W[d] * (xm[:, y0:y1, :] + xp[:, y0:y1, :])
+            ty = ty + W[d] * (
+                yshift3(cy, d, y0, y1) + yshift3(cy, -d, y0, y1)
+            )
+            zp, zm = z_neighbors3(c, zr, d, ylen)
+            tz = tz + W[d] * (zp + zm)
+        upd = (
+            dt32
+            * dt32
+            * (r2 * tx + r3 * ty + r4 * tz - (np.float32(-2.0) * r1 * c + r1 * prev) * m)
+            / m
+        )
+        return finish3(upd, c, ylen)
+
+    def leap3_isotropic(planes, prev, zrp, y0: int, ylen: int):
+        cm2, cm1, cy, cp1, cp2 = planes
+        y1 = y0 + ylen
+        c = cy[:, y0:y1, :]
+        zr = get_zr3(zrp, y0, y1)
+        acc = (np.float32(3.0) * W[0]) * c
+        xs = {1: (cm1, cp1), 2: (cm2, cp2)}
+        for d in range(R, 0, -1):
+            xm, xp = xs[d]
+            nb = xm[:, y0:y1, :] + xp[:, y0:y1, :]
+            nb = nb + yshift3(cy, d, y0, y1)
+            nb = nb + yshift3(cy, -d, y0, y1)
+            zp, zm = z_neighbors3(c, zr, d, ylen)
+            nb = nb + zp
+            nb = nb + zm
+            acc = acc + W[d] * nb
+        scale = dt32 * dt32 * r2 / m
+        upd = scale * acc + (np.float32(2.0) * c - prev)
+        return finish3(upd, c, ylen)
+
+    return leap3_isotropic if uniform_h else leap3_exact
 
 
 def _sweep_kernel(
@@ -666,11 +770,327 @@ def _sweep_kernel(
             write_out(lvl, i % OUT_RING, px).wait()
 
 
+def _sweep_kernel_pair(
+    u_hbm,
+    zr_hbm,
+    out_hbm,
+    cur_ring,
+    cur32_ring,
+    prev_ring,
+    stage_ring,
+    out_ring,
+    zr_ring,
+    sem_cur,
+    sem_prev,
+    sem_out,
+    sem_zr,
+    *,
+    grid: Grid3D,
+    dt: float,
+    m_val: float,
+    K: int,
+    px: int,
+    py: int,
+    cur: int,
+    use_roll: bool = True,
+    z_embed: bool = False,
+    frozen_lo: int = 0,
+    frozen_hi: int = 0,
+    bf16: bool = False,
+    rings=PAIR_PROFILE_STD,
+):
+    """Paired-plane (pb=2) variant of _sweep_kernel: every ring slot, DMA
+    and vector op covers a CHUNK of 2 consecutive x-planes, halving the op
+    and DMA-issue counts at constant total work (the fixed per-op lowering
+    overhead dominates small planes — RESULTS.md VPU analysis).
+
+    Index bookkeeping is the plane kernel's, re-expressed in chunk units;
+    with radius R == 2 == pb every stage trails an integer number of chunks
+    ((s-1) chunks), so the whole stage pipeline is chunk-aligned. x-chunk
+    neighbors at distance +-2 planes are whole adjacent chunks; +-1-plane
+    neighbors are leading-axis concats of adjacent chunk halves (register
+    renaming only — no lane/sublane data movement). Requires nx, px,
+    frozen_lo, frozen_hi all even and radius == 2 (sweep_fused routes).
+
+    Per-element operation order is identical to the plane kernel, so the
+    two kernels produce bitwise-equal output (pinned by
+    tests/test_sweep.py::test_sweep_pair_bitwise)."""
+    CUR_N, PREV_N, OUT_N, ZR_N, LEAD, UNROLL, ZL = rings
+    PB = 2
+    R = grid.radius
+    assert R == PB
+    assert CUR_N >= 1 + LEAD + 3 and PREV_N > LEAD
+    assert K == 1 or ZR_N >= (K - 1) + 1 + ZL
+    for ring in (CUR_N, PREV_N, OUT_N, ZR_N, PAIR_STAGE_RING):
+        assert ring % UNROLL == 0 or UNROLL % ring == 0, (ring, UNROLL)
+    nx, ny, nz = grid.nx, grid.ny, grid.nz
+    assert nx % PB == 0 and px % PB == 0
+    assert frozen_lo % PB == 0 and frozen_hi % PB == 0
+    nxc, pxc = nx // PB, px // PB
+    flc, fhc = frozen_lo // PB, frozen_hi // PB
+    nyp = ny + 2 * py
+    leap = _make_leap(
+        grid, dt, m_val, use_roll=use_roll, z_embed=z_embed, pb=PB
+    )
+    n_iter = nxc + 2 * (K - 1)
+    j0 = -(K - 1)  # stage-1 chunk index at iteration 0 (interior chunks)
+    cur_lvl = cur if K == 1 else 1
+    prev_lvl = 1 - cur_lvl
+
+    q_cur0 = pxc + j0 - 1
+    assert q_cur0 >= 0, "pad too narrow: need px >= K*R"
+    q_cur_last = pxc + nxc - 1 + max(K - 1, 1)
+    assert q_cur_last <= (nx + 2 * px) // PB - 1
+    n_cur = q_cur_last - q_cur0 + 1
+    q_prev0 = pxc
+
+    c32 = cur32_ring if bf16 else cur_ring
+    ocast = (lambda x: x.astype(jnp.bfloat16)) if bf16 else (lambda x: x)
+
+    def widen_cur(slot: int):
+        if bf16:
+            cur32_ring[slot] = cur_ring[slot][...].astype(jnp.float32)
+
+    def fetch_cur(q, slot: int):
+        return pltpu.make_async_copy(
+            u_hbm.at[cur_lvl, pl.ds(PB * q, PB)],
+            cur_ring.at[slot],
+            sem_cur.at[slot],
+        )
+
+    def fetch_prev(q, slot: int):
+        return pltpu.make_async_copy(
+            u_hbm.at[prev_lvl, pl.ds(PB * q, PB)],
+            prev_ring.at[slot],
+            sem_prev.at[slot],
+        )
+
+    use_zr = not z_embed
+
+    def fetch_zr(i, slot: int):
+        return pltpu.make_async_copy(
+            zr_hbm.at[pl.ds(px + PB * i, PB)], zr_ring.at[slot],
+            sem_zr.at[slot],
+        )
+
+    def zr_at(d_back: int, k: int):
+        return zr_ring[(j0 + k - d_back) % ZR_N]
+
+    def write_out(lvl: int, slot: int, Xp):
+        dst = prev_lvl if K == 1 else lvl
+        return pltpu.make_async_copy(
+            out_ring.at[lvl, slot],
+            out_hbm.at[dst, pl.ds(Xp, PB), pl.ds(py, ny), :],
+            sem_out.at[lvl, slot],
+        )
+
+    def chunk_neighbors(at):
+        """5 x-neighbor chunk views from a chunk accessor at(dc)."""
+        cm, cc, cp = at(-1), at(0), at(1)
+        cm1 = jnp.concatenate([cm[1:PB], cc[0:1]], axis=0)
+        cp1 = jnp.concatenate([cc[1:PB], cp[0:1]], axis=0)
+        return (cm, cm1, cc, cp1, cp)
+
+    # ---- prologue ----------------------------------------------------------
+    n_pro_cur = min(2 + LEAD, n_cur)
+    for a in range(n_pro_cur):
+        fetch_cur(q_cur0 + a, (q_cur0 + a) % CUR_N).start()
+    for a in range(min(2, n_cur)):
+        fetch_cur(q_cur0 + a, (q_cur0 + a) % CUR_N).wait()
+        widen_cur((q_cur0 + a) % CUR_N)
+    n_pro_prev = min(LEAD, nxc)
+    for a in range(n_pro_prev):
+        fetch_prev(q_prev0 + a, (q_prev0 + a) % PREV_N).start()
+    if use_zr:
+        for a in range(min(ZL, nxc)):
+            fetch_zr(a, a % ZR_N).start()
+
+    n_blk = -(-n_iter // UNROLL)
+
+    if K == 1:
+        steady_lo = max(OUT_N, flc)
+        steady_hi = min(n_cur - n_pro_cur, nxc - LEAD, nxc - fhc)
+    else:
+        steady_lo = max(2 * (K - 1) + OUT_N, flc + 2 * (K - 1))
+        steady_hi = min(
+            n_cur - n_pro_cur,
+            nxc + (K - 1) - LEAD,
+            nxc - fhc + (K - 1),
+        )
+    steady_lo = max(0, steady_lo)
+    steady_hi = max(steady_lo, steady_hi)
+
+    def emit(t, k: int, cond):
+        qc_issue = q_cur0 + n_pro_cur + t
+        if cond(None, "qc_issue"):
+            fetch_cur(qc_issue, (q_cur0 + n_pro_cur + k) % CUR_N).start()
+        qc_wait = q_cur0 + 2 + t
+        if cond(None, "qc_wait"):
+            fetch_cur(qc_wait, (q_cur0 + 2 + k) % CUR_N).wait()
+            widen_cur((q_cur0 + 2 + k) % CUR_N)
+
+        j = j0 + t  # stage-1 interior chunk index
+        if cond(None, "prev_issue"):
+            fetch_prev(
+                pxc + j + LEAD, (pxc + j0 + k + LEAD) % PREV_N
+            ).start()
+        if cond(None, "prev_wait"):
+            fetch_prev(pxc + j, (pxc + j0 + k) % PREV_N).wait()
+        if use_zr and cond(None, "zr_issue"):
+            fetch_zr(j + ZL, (j0 + k + ZL) % ZR_N).start()
+        if use_zr and cond(None, "zr_wait"):
+            fetch_zr(j, (j0 + k) % ZR_N).wait()
+
+        def cur_at(dc: int):  # cur chunk at chunk offset dc, static slot
+            return c32[(pxc + j0 + k + dc) % CUR_N]
+
+        X1 = px + PB * j
+        s1_slot = (pxc + j0 + k) % PAIR_STAGE_RING
+        planes1 = chunk_neighbors(cur_at)
+        cy1 = planes1[2]
+
+        if K == 1:
+            o_slot = k % OUT_N
+            if cond(None, "in1"):
+                pv = prev_ring[(pxc + j0 + k) % PREV_N]
+                pv_rows = pv[:, py : py + ny, :]
+                if bf16:
+                    pv_rows = pv_rows.astype(jnp.float32)
+                zr1 = None if z_embed else zr_at(0, k)
+                upd = leap(planes1, pv_rows, zr1, py, ny)
+            else:
+                upd = cy1[:, py : py + ny, :]
+            if cond(None, "out_wait1"):
+                write_out(0, o_slot, X1).wait()
+            out_ring[0, o_slot] = ocast(upd)
+            write_out(0, o_slot, X1).start()
+            return
+
+        if cond(None, "in1"):
+            pv = prev_ring[(pxc + j0 + k) % PREV_N]
+            pv_rows = pv[:, py : py + ny, :]
+            if bf16:
+                pv_rows = pv_rows.astype(jnp.float32)
+            zr1 = None if z_embed else zr_at(0, k)
+            upd1 = leap(planes1, pv_rows, zr1, py, ny)
+            stage_ring[0, s1_slot, :, py : py + ny] = upd1
+            stage_ring[0, s1_slot, :, 0:py] = cy1[:, 0:py, :]
+            stage_ring[0, s1_slot, :, py + ny :] = cy1[:, py + ny :, :]
+        elif cond(None, "pad1"):
+            stage_ring[0, s1_slot] = cy1[...]
+
+        for st in range(2, K + 1):
+            js = j - (st - 1)
+            Xs = px + PB * js
+            ks = (pxc + j0 + k - (st - 1)) % PAIR_STAGE_RING
+            if not cond(None, "run", st):
+                continue
+
+            def st_at(dc: int, _st=st, _ks=ks):
+                return stage_ring[_st - 2, (_ks + dc) % PAIR_STAGE_RING]
+
+            planes = chunk_neighbors(st_at)
+            cyS = planes[2]
+            if st < K:
+                if cond(None, "in", st):
+                    if st == 2:
+                        pvs = c32[(pxc + j0 + k - 1) % CUR_N]
+                    else:
+                        pvs = stage_ring[st - 3, ks]
+                    zrs = None if z_embed else zr_at(st - 1, k)
+                    upd = leap(planes, pvs[:, py : py + ny, :], zrs, py, ny)
+                    stage_ring[st - 1, ks, :, py : py + ny] = upd
+                    stage_ring[st - 1, ks, :, 0:py] = cyS[:, 0:py, :]
+                    stage_ring[st - 1, ks, :, py + ny :] = cyS[:, py + ny :, :]
+                else:
+                    stage_ring[st - 1, ks] = cyS[...]
+            else:
+                o_slot = (j0 + k - (K - 1)) % OUT_N
+                if cond(None, "out_wait", st):
+                    write_out(0, o_slot, px).wait()
+                    write_out(1, o_slot, px).wait()
+                if cond(None, "in", st):
+                    if st == 2:
+                        pvs = c32[(pxc + j0 + k - 1) % CUR_N]
+                    else:
+                        pvs = stage_ring[st - 3, ks]
+                    zrs = None if z_embed else zr_at(st - 1, k)
+                    upd = leap(planes, pvs[:, py : py + ny, :], zrs, py, ny)
+                else:
+                    upd = cyS[:, py : py + ny, :]
+                out_ring[1, o_slot] = ocast(upd)
+                out_ring[0, o_slot] = ocast(
+                    stage_ring[st - 2, ks][:, py : py + ny, :]
+                )
+                write_out(0, o_slot, Xs).start()
+                write_out(1, o_slot, Xs).start()
+
+    def static_cond(t: int):
+        def cond(_legacy, site, st=None):
+            j = j0 + t
+            if site == "qc_issue":
+                return q_cur0 + n_pro_cur + t <= q_cur_last
+            if site == "qc_wait":
+                return q_cur0 + 2 + t <= q_cur_last
+            if site == "prev_issue":
+                return n_pro_prev <= j + LEAD < nxc
+            if site == "prev_wait":
+                return 0 <= j < nxc
+            if site == "zr_issue":
+                return 0 <= j < nxc - ZL
+            if site == "zr_wait":
+                return 0 <= j < nxc
+            if site == "in1":
+                return flc <= j < nxc - fhc
+            if site == "pad1":
+                return j < nxc + (K - 1)
+            if site == "out_wait1":
+                return t >= OUT_N
+            js = j - (st - 1)
+            lo = -(K - st)
+            if site == "run":
+                return lo <= js < nxc - lo
+            if site == "in":
+                return flc <= js < nxc - fhc
+            if site == "out_wait":
+                return js >= OUT_N
+            raise AssertionError(site)
+
+        return cond
+
+    def steady_cond(_legacy, site, st=None):
+        return True
+
+    head_blk = min(-(-steady_lo // UNROLL), n_blk)
+    tail_blk = max(head_blk, min(steady_hi // UNROLL, n_blk))
+    for t in range(0, head_blk * UNROLL):
+        if t < n_iter:
+            emit(t, t % UNROLL, static_cond(t))
+
+    if tail_blk > head_blk:
+        def body(b, carry):
+            for k in range(UNROLL):
+                emit(UNROLL * b + k, k, steady_cond)
+            return carry
+
+        jax.lax.fori_loop(head_blk, tail_blk, body, 0, unroll=False)
+
+    for t in range(tail_blk * UNROLL, n_iter):
+        emit(t, t % UNROLL, static_cond(t))
+
+    # ---- drain outstanding writes ------------------------------------------
+    n_out_lvls = 1 if K == 1 else 2
+    for a in range(min(OUT_N, nxc)):
+        i = nxc - 1 - a
+        for lvl in range(n_out_lvls):
+            write_out(lvl, i % OUT_N, px).wait()
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "grid", "dt", "m_val", "k_fuse", "cur", "interpret", "vmem_limit",
-        "frozen_lo", "frozen_hi", "ring_profile",
+        "frozen_lo", "frozen_hi", "ring_profile", "pair",
     ),
 )
 def sweep_fused(
@@ -687,9 +1107,14 @@ def sweep_fused(
     frozen_lo: int = 0,
     frozen_hi: int = 0,
     ring_profile: str = "auto",
+    pair: str = "auto",
 ) -> jnp.ndarray:
     """K fused in-place leapfrog steps on packed U[2] = [u_{n-1}, u_n]
     (sweep-layout cores); returns U holding [u_{n+K-1}, u_{n+K}].
+
+    pair: "auto" (default) runs the paired-plane kernel when eligible
+    (radius 2, even nx/px/frozen margins, VMEM fits); "off" forces the
+    per-plane kernel; "on" requires pairing and raises if ineligible.
 
     For K >= 2 the level roles are fixed (prev=0, cur=1) on both input and
     output. For K == 1 `cur` names the input cur level and the output lands
@@ -764,34 +1189,84 @@ def sweep_fused(
             f" nx={grid.nx}"
         )
 
-    rings = _ring_profile(grid, py, ring_profile)
+    if pair not in ("auto", "on", "off"):
+        raise ValueError(f"pair must be 'auto', 'on' or 'off'; got {pair!r}")
+    pair_ok = (
+        grid.radius == 2
+        and grid.nx % 2 == 0
+        and px % 2 == 0
+        and frozen_lo % 2 == 0
+        and frozen_hi % 2 == 0
+    )
+    if pair == "on" and not pair_ok:
+        raise ValueError(
+            "pair='on' needs radius 2 and even nx, x pad and frozen"
+            f" margins; got radius={grid.radius}, nx={grid.nx}, px={px},"
+            f" frozen={frozen_lo}/{frozen_hi}"
+        )
+    pb = 2 if pair != "off" and pair_ok else 1
+    if pair == "auto" and pb == 2 and (
+        core_nz(grid) < 256
+        or vmem_bytes(grid, K, px, py, bf16, pb=2) > VMEM_BUDGET
+    ):
+        # measured (v5e, 50 steps, K=4): pairing wins only at plane widths
+        # >= 256 lanes (192^3 z-embed: +9.6%, 256^3: +2.9%) and loses at
+        # 128-lane widths (128^3: -8%, 64^3: -19%) — at one vreg-row of
+        # lanes the halved op count doesn't cover the 3-D op overhead; and
+        # chunk-sized rings/temporaries would blow VMEM on big planes
+        pb = 1
+
+    rings = _ring_profile(grid, py, ring_profile, pb=pb)
     cur_n, prev_n, out_n, zr_n = rings[:4]
     kern = functools.partial(
-        _sweep_kernel, grid=grid, dt=dt, m_val=m_val, K=K, px=px, py=py,
+        _sweep_kernel_pair if pb == 2 else _sweep_kernel,
+        grid=grid, dt=dt, m_val=m_val, K=K, px=px, py=py,
         cur=cur, use_roll=not interpret, z_embed=z_embed,
         frozen_lo=frozen_lo, frozen_hi=frozen_hi, bf16=bf16, rings=rings,
     )
     sdt = U.dtype
-    scratch = [
-        pltpu.VMEM((cur_n, nyp, nz), sdt),
-        pltpu.VMEM(
-            (cur_n, nyp, nz) if bf16 else (1, 8, 128), jnp.float32
-        ),
-        pltpu.VMEM((prev_n, nyp, nz), sdt),
-        pltpu.VMEM(
-            ((K - 1, STAGE_RING, nyp, nz) if K > 1 else (1, 1, 8, 128)),
-            jnp.float32,
-        ),
-        pltpu.VMEM((2, out_n, ny, nz), sdt),
-        pltpu.VMEM(
-            (1, 8, 128) if z_embed else (zr_n, nyp, ZR_LANES),
-            jnp.float32,
-        ),
-        pltpu.SemaphoreType.DMA((cur_n,)),
-        pltpu.SemaphoreType.DMA((prev_n,)),
-        pltpu.SemaphoreType.DMA((2, out_n)),
-        pltpu.SemaphoreType.DMA((zr_n,)),
-    ]
+    if pb == 2:
+        stage_shape = (
+            (K - 1, PAIR_STAGE_RING, 2, nyp, nz) if K > 1 else (1, 1, 1, 8, 128)
+        )
+        scratch = [
+            pltpu.VMEM((cur_n, 2, nyp, nz), sdt),
+            pltpu.VMEM(
+                (cur_n, 2, nyp, nz) if bf16 else (1, 1, 8, 128), jnp.float32
+            ),
+            pltpu.VMEM((prev_n, 2, nyp, nz), sdt),
+            pltpu.VMEM(stage_shape, jnp.float32),
+            pltpu.VMEM((2, out_n, 2, ny, nz), sdt),
+            pltpu.VMEM(
+                (1, 1, 8, 128) if z_embed else (zr_n, 2, nyp, ZR_LANES),
+                jnp.float32,
+            ),
+            pltpu.SemaphoreType.DMA((cur_n,)),
+            pltpu.SemaphoreType.DMA((prev_n,)),
+            pltpu.SemaphoreType.DMA((2, out_n)),
+            pltpu.SemaphoreType.DMA((zr_n,)),
+        ]
+    else:
+        scratch = [
+            pltpu.VMEM((cur_n, nyp, nz), sdt),
+            pltpu.VMEM(
+                (cur_n, nyp, nz) if bf16 else (1, 8, 128), jnp.float32
+            ),
+            pltpu.VMEM((prev_n, nyp, nz), sdt),
+            pltpu.VMEM(
+                ((K - 1, STAGE_RING, nyp, nz) if K > 1 else (1, 1, 8, 128)),
+                jnp.float32,
+            ),
+            pltpu.VMEM((2, out_n, ny, nz), sdt),
+            pltpu.VMEM(
+                (1, 8, 128) if z_embed else (zr_n, nyp, ZR_LANES),
+                jnp.float32,
+            ),
+            pltpu.SemaphoreType.DMA((cur_n,)),
+            pltpu.SemaphoreType.DMA((prev_n,)),
+            pltpu.SemaphoreType.DMA((2, out_n)),
+            pltpu.SemaphoreType.DMA((zr_n,)),
+        ]
     flops_per_pt = K * (3 * (grid.order + 1) * 2 + 6)
     bytes_pt = 8 if bf16 else 16  # 2 reads + 2 writes per call
     cost = pl.CostEstimate(

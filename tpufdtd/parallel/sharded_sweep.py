@@ -324,6 +324,7 @@ class SweepShard:
                 return lambda u: sweep_fused(
                     u, zrT, grid=ge, dt=dtv, m_val=m_val, k_fuse=kk, cur=cur,
                     interpret=interp, frozen_lo=flo, frozen_hi=fhi,
+                    pair=self.cfg.pair,
                 )
 
             if n == 1:

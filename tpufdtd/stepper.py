@@ -535,7 +535,7 @@ class ZSplitEngine:
         def scall(U, kk, cur=1):
             return self._sweep.sweep_fused(
                 U, zrT, grid=g, dt=dtv, m_val=mv, k_fuse=kk, cur=cur,
-                interpret=self._interpret,
+                interpret=self._interpret, pair=self.cfg.pair,
             )
 
         def single(U, cur, src_row):

@@ -7,6 +7,7 @@ linked TU; here every knob is live).
   TPUFDTD_STORAGE        float32 | bfloat16      (default float32)
   TPUFDTD_TFUSE          timesteps fused per HBM pass (0 = auto)
   TPUFDTD_VMEM_BUDGET    pallas VMEM budget in MiB (default 100)
+  TPUFDTD_PAIR           auto | on | off — paired-plane sweep mode
 """
 
 from __future__ import annotations
@@ -21,6 +22,7 @@ class RuntimeConfig:
     storage: str = "float32"
     t_fuse: int = 0
     vmem_budget_mib: int = 100
+    pair: str = "auto"
 
 
 def runtime_config() -> RuntimeConfig:
@@ -29,4 +31,5 @@ def runtime_config() -> RuntimeConfig:
         storage=os.environ.get("TPUFDTD_STORAGE", "float32"),
         t_fuse=int(os.environ.get("TPUFDTD_TFUSE", "0")),
         vmem_budget_mib=int(os.environ.get("TPUFDTD_VMEM_BUDGET", "100")),
+        pair=os.environ.get("TPUFDTD_PAIR", "auto"),
     )
