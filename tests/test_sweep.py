@@ -359,3 +359,30 @@ def test_sweep_pair_on_rejects_ineligible():
     out = sw.sweep_fused(U0, zr, grid=g, dt=0.001, m_val=1.5, k_fuse=2,
                          interpret=True, pair="auto")
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sweep_pair_bitwise_bf16():
+    """Pairing is bitwise-neutral under bf16 storage too (the cur chunks are
+    widened to f32 once on arrival in both kernels)."""
+    import jax.numpy as jnp
+
+    from tpufdtd.layout import ZSplitLayout
+    from tpufdtd.ops import stencil_sweep as sw
+
+    g = tf.Grid3D(16, 16, 128, hx=1.0, hy=1.0, hz=1.0)
+    K = 2
+    up, uc = _fast_ic(g, seed=11)
+    lay = ZSplitLayout(g, py=16, xpad=max(g.halo, K * g.radius),
+                       z_embed=sw.z_embedded(g))
+    p_core, p_zrim = lay.split(up)
+    c_core, _ = lay.split(uc)
+    U0 = jnp.asarray(np.stack([p_core, c_core]), jnp.bfloat16)
+    zr = jnp.asarray(sw.pad_zrim(p_zrim), jnp.float32)
+    outs = {}
+    for pair in ("off", "on"):
+        outs[pair] = np.asarray(
+            sw.sweep_fused(U0, zr, grid=g, dt=0.001, m_val=1.5,
+                           k_fuse=K, interpret=True, pair=pair)
+            .astype(jnp.float32)
+        )
+    assert np.array_equal(outs["off"], outs["on"])
