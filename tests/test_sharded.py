@@ -303,3 +303,110 @@ def test_sharded_bf16_per_step_fallback():
     ring_j = tf.simulate_ring(up0.copy(), uc0.copy(), m, g, cfg_j)
     for mine, jref in zip(ring, ring_j):
         assert np.array_equal(mine, np.asarray(jref, np.float32))
+
+
+def test_sharded_sweep_variable_m_matches_oracle():
+    """Heterogeneous medium on the sharded sweep: each shard streams its
+    slab of the per-point w scale (margins filled from the real global
+    medium by the slab cut), sources included."""
+    g = tf.Grid3D(32, 16, 16, hx=1.0, hy=1.0, hz=1.0)
+    up, uc = _zero_rim_ic(g)
+    shape = g.padded_shape
+    x = np.linspace(0, 1, shape[0])[:, None, None]
+    y = np.linspace(0, 1, shape[1])[None, :, None]
+    z = np.linspace(0, 1, shape[2])[None, None, :]
+    m = (1.6 + 0.4 * np.sin(3 * x) * np.cos(2 * y) * np.sin(4 * z)).astype(
+        np.float32
+    )
+    mesh = make_mesh(4)
+    cfg = tf.SimConfig(dt=0.001, nsteps=9, backend="pallas")
+    coords = np.array([[20.0, 8.0, 8.0]], np.float32)  # near a shard seam
+    src = tf.ricker_table(9, 1, cfg.dt)
+    sim = ShardedSimulator(g, cfg, m, mesh, src_coords=coords)
+    assert sim.sweep is not None and sim.sweep.m_val is None
+    assert sim.sweep.w_sharded is not None
+    state, m_sh, packed = sim.prepare(up.copy(), uc.copy(), m)
+    state = sim.run(state, m_sh, packed, src, 9)
+    _, C = sim.extract_state(state)
+    _, oC = tf.oracle_run(up.copy(), uc.copy(), m, g, 0.001, 9,
+                          src=src, src_coords=coords, dtype=np.float64)
+    assert rel_l2(C, oC) < 1e-5, rel_l2(C, oC)
+
+
+def test_sharded_sweep_variable_m_bitwise_matches_single_chip():
+    """Sharded heterogeneous-medium sweep is bit-equal to the single-chip
+    variable-m sweep at the same K (same f32 inputs per plane)."""
+    g = tf.Grid3D(32, 16, 16, hx=1.0, hy=1.0, hz=1.0)
+    _, uc0, _ = make_correctness_ic(g)
+    up0 = uc0.copy()
+    shape = g.padded_shape
+    rng = np.random.default_rng(3)
+    m = (1.3 + 0.5 * rng.random(shape)).astype(np.float32)
+    cfg = tf.SimConfig(dt=0.001, nsteps=9, backend="pallas", t_fuse=3)
+    sim = ShardedSimulator(g, cfg, m, make_mesh(4))
+    assert sim.sweep is not None and sim.sweep.m_val is None
+    st, ms, pk = sim.prepare(up0.copy(), uc0.copy(), m)
+    st = sim.run(st, ms, pk, None, 9)
+    _, C = sim.extract_state(st)
+    s1 = tf.Simulator(g, cfg, m)
+    assert s1.engine.sweep_k == 3 and s1.engine.m_val is None
+    st1 = s1.prepare_state(up0.copy(), uc0.copy())
+    st1 = s1.run(st1, None, 9)
+    _, C1 = s1.extract_state(st1)
+    assert np.array_equal(C, C1)
+
+
+# ---- 2-D (x, y) mesh -------------------------------------------------------
+
+
+def test_sharded_sweep_2d_mesh_matches_oracle():
+    """4x2 (x, y) mesh: y-split shards exchange K*R rows per block and
+    y-edge shards freeze their margin rows in-kernel (frozen_ylo/yhi);
+    sources included."""
+    g = tf.Grid3D(32, 32, 16, hx=1.0, hy=1.0, hz=1.0)
+    up, uc = _zero_rim_ic(g)
+    m = np.full(g.padded_shape, 1.5, np.float32)
+    mesh = make_mesh(shape=(4, 2))
+    cfg = tf.SimConfig(dt=0.001, nsteps=9, backend="pallas")
+    coords = np.array([[16.0, 16.0, 8.0]], np.float32)  # near both seams
+    src = tf.ricker_table(9, 1, cfg.dt)
+    sim = ShardedSimulator(g, cfg, m, mesh, src_coords=coords)
+    assert sim.sweep is not None and sim.sweep.ndy == 2
+    st, ms, pk = sim.prepare(up.copy(), uc.copy(), m)
+    st = sim.run(st, ms, pk, src, 9)
+    _, C = sim.extract_state(st)
+    _, oC = tf.oracle_run(up.copy(), uc.copy(), m, g, 0.001, 9,
+                          src=src, src_coords=coords, dtype=np.float64)
+    assert rel_l2(C, oC) < 1e-5, rel_l2(C, oC)
+
+
+def test_sharded_sweep_2d_mesh_bitwise_matches_single_chip():
+    """2x4 mesh with a heterogeneous medium is bit-equal to the single-chip
+    variable-m sweep at the same K (the margin calculus feeds every plane
+    and row the same f32 inputs)."""
+    g = tf.Grid3D(32, 32, 16, hx=1.0, hy=1.0, hz=1.0)
+    _, uc0, _ = make_correctness_ic(g)
+    up0 = uc0.copy()
+    rng = np.random.default_rng(1)
+    m = (1.3 + 0.5 * rng.random(g.padded_shape)).astype(np.float32)
+    cfg = tf.SimConfig(dt=0.001, nsteps=9, backend="pallas", t_fuse=3)
+    sim = ShardedSimulator(g, cfg, m, make_mesh(shape=(2, 4)))
+    assert sim.sweep is not None and sim.sweep.w_sharded is not None
+    st, ms, pk = sim.prepare(up0.copy(), uc0.copy(), m)
+    st = sim.run(st, ms, pk, None, 9)
+    _, C = sim.extract_state(st)
+    s1 = tf.Simulator(g, cfg, m)
+    st1 = s1.prepare_state(up0.copy(), uc0.copy())
+    st1 = s1.run(st1, None, 9)
+    _, C1 = s1.extract_state(st1)
+    assert np.array_equal(C, C1)
+
+
+def test_sharded_2d_mesh_requires_sweep():
+    """2-D meshes have no per-step fallback: an ineligible configuration
+    (order 6 exceeds the sweep's radius-2 design) raises loudly."""
+    g = tf.Grid3D(32, 32, 16, hx=1.0, hy=1.0, hz=1.0, order=6)
+    m = np.full(g.padded_shape, 1.5, np.float32)
+    cfg = tf.SimConfig(dt=0.001, nsteps=4, backend="pallas")
+    with pytest.raises(ValueError):
+        ShardedSimulator(g, cfg, m, make_mesh(shape=(4, 2)))

@@ -102,11 +102,18 @@ def test_sweep_fallback_source_near_boundary():
 
 
 def test_sweep_explicit_tfuse3_raises_when_ineligible():
+    # non-uniform m is NOT an ineligibility anymore (the w stream handles
+    # heterogeneous media) — explicit t_fuse=3 must build and pick the sweep
     g = tf.Grid3D(16, 16, 32, hx=1.0, hy=1.0, hz=1.0)
     m = np.full(g.padded_shape, 1.5, np.float32)
-    m[8, 8, 8] = 2.0  # non-uniform medium
+    m[8, 8, 8] = 2.0
+    sim = Simulator(g, tf.SimConfig(backend="pallas", t_fuse=3), m)
+    assert sim.engine.sweep_k == 3 and sim.engine.m_val is None
+    # order 6 (radius 3) exceeds the sweep's radius-2 design: must raise
+    g6 = tf.Grid3D(16, 16, 32, hx=1.0, hy=1.0, hz=1.0, order=6)
+    m6 = np.full(g6.padded_shape, 1.5, np.float32)
     with pytest.raises(ValueError):
-        Simulator(g, tf.SimConfig(backend="pallas", t_fuse=3), m)
+        Simulator(g6, tf.SimConfig(backend="pallas", t_fuse=3), m6)
 
 
 def test_sweep_anisotropic_spacing():
@@ -386,3 +393,144 @@ def test_sweep_pair_bitwise_bf16():
             .astype(jnp.float32)
         )
     assert np.array_equal(outs["off"], outs["on"])
+
+
+# ---- heterogeneous medium (per-point w stream) ------------------------------
+
+
+def _smooth_m(shape, seed=0):
+    """Smooth heterogeneous medium in [1.2, 2.0] (slowness^2-like)."""
+    x = np.linspace(0, 1, shape[0])[:, None, None]
+    y = np.linspace(0, 1, shape[1])[None, :, None]
+    z = np.linspace(0, 1, shape[2])[None, None, :]
+    return (
+        1.6 + 0.4 * np.sin(3 * x + seed) * np.cos(2 * y) * np.sin(4 * z)
+    ).astype(np.float32)
+
+
+def test_sweep_variable_m_vs_oracle():
+    """The sweep engine auto-engages for heterogeneous m (per-point w
+    stream; the reference's optimized kernel reads m[gid] per point,
+    cuda_optimized.cu:251) and matches the f64 oracle. Both rim modes."""
+    for nz in (32, 128):
+        grid = tf.Grid3D(32, 16, nz)
+        up, uc = _fast_ic(grid, seed=3)
+        m = _smooth_m(grid.padded_shape)
+        nsteps = 7
+        cfg = tf.SimConfig(dt=0.001, nsteps=nsteps, backend="pallas")
+        sim = Simulator(grid, cfg, m)
+        assert sim.engine.m_val is None
+        assert sim.engine.sweep_k >= 2, sim.engine.sweep_k
+        assert sim.engine.sweep_w is not None
+        state = sim.prepare_state(up.copy(), uc.copy())
+        assert next(iter(state)).startswith("sweep")
+        state = sim.run(state, None, nsteps)
+        _, got = sim.extract_state(state)
+        _, truth = oracle_run(up.copy(), uc.copy(), m, grid, cfg.dt, nsteps,
+                              dtype=np.float64)
+        assert rel_l2(got, truth) < 2e-6, rel_l2(got, truth)
+
+
+def test_sweep_variable_m_with_source():
+    """Fused source-correction cubes are propagated through the LOCAL medium
+    (injection_cubes_upto m_core window), so sources sitting in a
+    heterogeneous region stay exact."""
+    grid = tf.Grid3D(32, 16, 32)
+    up, uc = _fast_ic(grid, seed=5)
+    m = _smooth_m(grid.padded_shape, seed=2)
+    # strong local contrast right at the source
+    m[16:22, 8:14, 16:22] *= 1.3
+    coords = np.array([[18.0, 10.0, 18.0]], np.float32)
+    nsteps = 7
+    cfg = tf.SimConfig(dt=0.001, nsteps=nsteps, backend="pallas")
+    src = tf.ricker_table(nsteps, 1, cfg.dt)
+    sim = Simulator(grid, cfg, m, coords)
+    assert sim.engine.sweep_k >= 2, sim.engine.sweep_k
+    state = sim.prepare_state(up.copy(), uc.copy())
+    state = sim.run(state, src, nsteps)
+    _, got = sim.extract_state(state)
+    _, truth = oracle_run(up.copy(), uc.copy(), m, grid, cfg.dt, nsteps,
+                          src=src, src_coords=coords, dtype=np.float64)
+    assert rel_l2(got, truth) < 2e-6, rel_l2(got, truth)
+
+
+def test_sweep_variable_m_uniform_is_bitwise_equal():
+    """A constant medium passed as a field (assume_uniform_m=False) routes
+    through the w stream and must match the scalar m_val path BITWISE: the
+    plane multiply replaces the scalar multiply in the same op."""
+    import jax.numpy as jnp
+
+    from tpufdtd.layout import ZSplitLayout
+    from tpufdtd.ops import stencil_sweep as sw
+
+    g = tf.Grid3D(16, 16, 32)
+    K = 3
+    up, uc = _fast_ic(g, seed=9)
+    lay = ZSplitLayout(g, py=8, xpad=max(g.halo, K * g.radius),
+                       z_embed=sw.z_embedded(g))
+    p_core, p_zrim = lay.split(up)
+    c_core, _ = lay.split(uc)
+    m_core = np.full(lay.core_shape, 1.5, np.float32)
+    dt = 0.001
+    w = ((dt * dt / (g.hx * g.hx))
+         / np.maximum(m_core.astype(np.float64), 1e-300)).astype(np.float32)
+    U0 = jnp.asarray(np.stack([p_core, c_core]))
+    zr = jnp.asarray(p_zrim, jnp.float32)
+    a = np.asarray(sw.sweep_fused(U0, zr, grid=g, dt=dt, m_val=1.5,
+                                  k_fuse=K, interpret=True))
+    b = np.asarray(sw.sweep_fused(U0, zr, grid=g, dt=dt, m_val=None,
+                                  k_fuse=K, interpret=True, w=jnp.asarray(w)))
+    assert np.array_equal(a, b)
+
+
+def test_sweep_variable_m_pair_bitwise():
+    """Pairing stays bitwise-neutral with the w stream (the w chunks ride
+    the same ring machinery as the z-rim chunks)."""
+    import jax.numpy as jnp
+
+    from tpufdtd.layout import ZSplitLayout
+    from tpufdtd.ops import stencil_sweep as sw
+
+    for nz in (128, 32):
+        g = tf.Grid3D(16, 16, nz)
+        K = 2
+        up, uc = _fast_ic(g, seed=13)
+        lay = ZSplitLayout(g, py=8, xpad=max(g.halo, 2 * g.radius),
+                           z_embed=sw.z_embedded(g))
+        p_core, p_zrim = lay.split(up)
+        c_core, _ = lay.split(uc)
+        m_core = _smooth_m(lay.core_shape, seed=1)
+        dt = 0.001
+        w = jnp.asarray(((dt * dt / (g.hx * g.hx))
+                         / m_core.astype(np.float64)).astype(np.float32))
+        U0 = jnp.asarray(np.stack([p_core, c_core]))
+        zr = jnp.asarray(
+            p_zrim if sw.z_embedded(g) else sw.pad_zrim(p_zrim), jnp.float32
+        )
+        outs = {}
+        for pair in ("off", "on"):
+            outs[pair] = np.asarray(
+                sw.sweep_fused(U0, zr, grid=g, dt=dt, m_val=None, k_fuse=K,
+                               interpret=True, pair=pair, w=w)
+            )
+        assert np.array_equal(outs["off"], outs["on"])
+
+
+def test_sweep_variable_m_bf16():
+    """bf16 storage composes with the heterogeneous medium (w stays an f32
+    stream feeding the f32 VMEM compute)."""
+    grid = tf.Grid3D(32, 16, 32)
+    up, uc = _fast_ic(grid, seed=17)
+    m = _smooth_m(grid.padded_shape, seed=4)
+    nsteps = 5
+    cfg = tf.SimConfig(dt=0.001, nsteps=nsteps, backend="pallas",
+                       storage_dtype="bfloat16")
+    sim = Simulator(grid, cfg, m)
+    assert sim.engine.sweep_k >= 2, sim.engine.sweep_k
+    state = sim.prepare_state(up.copy(), uc.copy())
+    state = sim.run(state, None, nsteps)
+    _, got = sim.extract_state(state)
+    _, truth = oracle_run(up.copy(), uc.copy(), m, grid, cfg.dt, nsteps,
+                          dtype=np.float64)
+    # bf16 storage rounds each fused block's output to 8-bit mantissa
+    assert rel_l2(got, truth) < 5e-3, rel_l2(got, truth)

@@ -171,7 +171,8 @@ def bf16_supported(grid: Grid3D) -> bool:
 
 
 def vmem_bytes(grid: Grid3D, K: int, px: int, py: int = 8,
-               bf16: bool = False, pb: int = 1) -> int:
+               bf16: bool = False, pb: int = 1,
+               variable_m: bool = False) -> int:
     """Scratch VMEM this kernel needs at fusion depth K (rings + the
     lane-padded zrT block); used to pick the largest K that fits.
 
@@ -199,6 +200,14 @@ def vmem_bytes(grid: Grid3D, K: int, px: int, py: int = 8,
     # expression on top of the declared scratch (measured: 132.2 MB actual
     # vs 103 MB declared at 768^3 K=3)
     temporaries = 13 * plane
+    # variable_m: the per-plane medium-scale ring (f32)
+    zl = _ring_profile(grid, py, pb=pb)[6]
+    unroll = _ring_profile(grid, py, pb=pb)[5]
+    wring = (
+        _w_ring_n(K, grid.radius, zl, unroll, pb=pb) * plane
+        if variable_m
+        else 0
+    )
     return (
         cur_n * plane_s
         + cur32
@@ -206,26 +215,42 @@ def vmem_bytes(grid: Grid3D, K: int, px: int, py: int = 8,
         + stage
         + 2 * out_n * out_plane
         + zrt
+        + wring
         + temporaries
     )
 
 
-def pick_k_fuse(grid: Grid3D, want: int, bf16: bool = False) -> int:
+def pick_k_fuse(grid: Grid3D, want: int, bf16: bool = False,
+                variable_m: bool = False) -> int:
     """Largest K <= want whose scratch fits the VMEM budget (0 if none)."""
     R = grid.radius
     py = 16 if bf16 else 8
     for k in range(want, 0, -1):
         px = max(grid.halo, k * R)
         if k <= max_k_fuse(grid, px, py) and vmem_bytes(
-            grid, k, px, py, bf16
+            grid, k, px, py, bf16, variable_m=variable_m
         ) <= VMEM_BUDGET:
             return k
     return 0
 
 
 def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True,
-               z_embed: bool = False, pb: int = 1):
-    """leap(planes, prev, zrp, y0, ylen) -> (ylen, width) update.
+               z_embed: bool = False, pb: int = 1, variable_m: bool = False,
+               frozen_ylo: int = 0, frozen_yhi: int = 0):
+    """leap(planes, prev, zrp, y0, ylen, w=None) -> (ylen, width) update.
+
+    frozen_ylo/frozen_yhi: freeze the first/last interior ROWS of every
+    computed plane (masked back to the cur values, like z_embed's lane
+    mask) — the y-edge-shard margins of the 2-D-mesh sharded sweep, where
+    the extended-interior rows overlay the global frozen y rim.
+
+    variable_m: the medium is a per-point field; `w` is this plane's
+    precomputed scale (dt^2/(h^2*m) isotropic, dt^2/m anisotropic — see
+    sweep_fused) and replaces the scalar factor in the SAME vector op, so
+    heterogeneous media cost zero extra VPU passes (the reference reads
+    m[gid] per point every step, cuda_optimized.cu:251, openacc.cpp:107;
+    here the division is precomputed once on the host in f64). The uniform
+    path (variable_m=False) is untouched — bitwise identical to round 2.
 
     pb = 2 selects the chunked (paired-plane) form: every array carries a
     leading pb axis ((pb, nyp, width) planes, (pb, ylen, width) prev/output)
@@ -257,7 +282,7 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True,
     r3 = np.float32(1.0) / np.float32(grid.hy) ** 2
     r4 = np.float32(1.0) / np.float32(grid.hz) ** 2
     r1 = np.float32(1.0) / (dt32 * dt32)
-    m = np.float32(m_val)
+    m = np.float32(1.0) if m_val is None else np.float32(m_val)
 
     uniform_h = grid.hx == grid.hy == grid.hz
 
@@ -288,7 +313,14 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True,
 
     def finish(upd, c, ylen: int):
         """z_embed: mask non-interior lanes back to the frozen cur values
-        (rim lanes stay frozen; dead lanes stay 0)."""
+        (rim lanes stay frozen; dead lanes stay 0). frozen_ylo/yhi mask
+        edge rows the same way (2-D-mesh y-edge shards)."""
+        if frozen_ylo or frozen_yhi:
+            row = jax.lax.broadcasted_iota(jnp.int32, (ylen, c.shape[1]), 0)
+            ok = jnp.logical_and(
+                row >= frozen_ylo, row < ylen - frozen_yhi
+            )
+            upd = jnp.where(ok, upd, c)
         if not z_embed:
             return upd
         lane = jax.lax.broadcasted_iota(jnp.int32, (ylen, c.shape[1]), 1)
@@ -300,9 +332,11 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True,
             return None
         return zrp[y0:y1, :]  # (ylen, 2h) rim-ring plane rows
 
-    def leap_exact(planes, prev, zrp, y0: int, ylen: int):
+    def leap_exact(planes, prev, zrp, y0: int, ylen: int, w=None):
         """u_next in the reference's exact algebraic form
-        (openacc.cpp:102-107), term-for-term."""
+        (openacc.cpp:102-107), term-for-term. variable_m applies the
+        per-point w = dt^2/m to the combined spatial sum instead (same
+        value up to fp association; gated by the oracle tolerance)."""
         cm2, cm1, cy, cp1, cp2 = planes
         y1 = y0 + ylen
         c = cy[y0:y1, :]
@@ -316,19 +350,25 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True,
             ty = ty + W[d] * (yshift(cy, d, y0, y1) + yshift(cy, -d, y0, y1))
             zp, zm = z_neighbors(c, zr, d, ylen)
             tz = tz + W[d] * (zp + zm)
-        upd = (
-            dt32
-            * dt32
-            * (r2 * tx + r3 * ty + r4 * tz - (np.float32(-2.0) * r1 * c + r1 * prev) * m)
-            / m
-        )
+        if variable_m:
+            upd = w[y0:y1, :] * (r2 * tx + r3 * ty + r4 * tz) + (
+                np.float32(2.0) * c - prev
+            )
+        else:
+            upd = (
+                dt32
+                * dt32
+                * (r2 * tx + r3 * ty + r4 * tz - (np.float32(-2.0) * r1 * c + r1 * prev) * m)
+                / m
+            )
         return finish(upd, c, ylen)
 
-    def leap_isotropic(planes, prev, zrp, y0: int, ylen: int):
+    def leap_isotropic(planes, prev, zrp, y0: int, ylen: int, w=None):
         """Same update for hx == hy == hz with one fused accumulator: the
         axis sums share the 1/h^2 factor, saving ~1/3 of the VPU ops.
         Differs from leap_exact only in fp association order (gated by the
-        rel-L2 tolerance vs the f64 oracle, DEVIATIONS.md item 1)."""
+        rel-L2 tolerance vs the f64 oracle, DEVIATIONS.md item 1).
+        variable_m swaps the scalar scale for the w plane — same op count."""
         cm2, cm1, cy, cp1, cp2 = planes
         y1 = y0 + ylen
         c = cy[y0:y1, :]
@@ -344,8 +384,11 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True,
             nb = nb + zp
             nb = nb + zm
             acc = acc + W[d] * nb
-        scale = dt32 * dt32 * r2 / m  # r2 == r3 == r4
-        upd = scale * acc + (np.float32(2.0) * c - prev)
+        if variable_m:
+            upd = w[y0:y1, :] * acc + (np.float32(2.0) * c - prev)
+        else:
+            scale = dt32 * dt32 * r2 / m  # r2 == r3 == r4
+            upd = scale * acc + (np.float32(2.0) * c - prev)
         return finish(upd, c, ylen)
 
     if pb == 1:
@@ -373,6 +416,14 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True,
         return zp, zm
 
     def finish3(upd, c, ylen: int):
+        if frozen_ylo or frozen_yhi:
+            row = jax.lax.broadcasted_iota(
+                jnp.int32, (pb, ylen, c.shape[2]), 1
+            )
+            ok = jnp.logical_and(
+                row >= frozen_ylo, row < ylen - frozen_yhi
+            )
+            upd = jnp.where(ok, upd, c)
         if not z_embed:
             return upd
         lane = jax.lax.broadcasted_iota(jnp.int32, (pb, ylen, c.shape[2]), 2)
@@ -384,7 +435,7 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True,
             return None
         return zrp[:, y0:y1, :]
 
-    def leap3_exact(planes, prev, zrp, y0: int, ylen: int):
+    def leap3_exact(planes, prev, zrp, y0: int, ylen: int, w=None):
         cm2, cm1, cy, cp1, cp2 = planes
         y1 = y0 + ylen
         c = cy[:, y0:y1, :]
@@ -400,15 +451,20 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True,
             )
             zp, zm = z_neighbors3(c, zr, d, ylen)
             tz = tz + W[d] * (zp + zm)
-        upd = (
-            dt32
-            * dt32
-            * (r2 * tx + r3 * ty + r4 * tz - (np.float32(-2.0) * r1 * c + r1 * prev) * m)
-            / m
-        )
+        if variable_m:
+            upd = w[:, y0:y1, :] * (r2 * tx + r3 * ty + r4 * tz) + (
+                np.float32(2.0) * c - prev
+            )
+        else:
+            upd = (
+                dt32
+                * dt32
+                * (r2 * tx + r3 * ty + r4 * tz - (np.float32(-2.0) * r1 * c + r1 * prev) * m)
+                / m
+            )
         return finish3(upd, c, ylen)
 
-    def leap3_isotropic(planes, prev, zrp, y0: int, ylen: int):
+    def leap3_isotropic(planes, prev, zrp, y0: int, ylen: int, w=None):
         cm2, cm1, cy, cp1, cp2 = planes
         y1 = y0 + ylen
         c = cy[:, y0:y1, :]
@@ -424,16 +480,30 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True,
             nb = nb + zp
             nb = nb + zm
             acc = acc + W[d] * nb
-        scale = dt32 * dt32 * r2 / m
-        upd = scale * acc + (np.float32(2.0) * c - prev)
+        if variable_m:
+            upd = w[:, y0:y1, :] * acc + (np.float32(2.0) * c - prev)
+        else:
+            scale = dt32 * dt32 * r2 / m
+            upd = scale * acc + (np.float32(2.0) * c - prev)
         return finish3(upd, c, ylen)
 
     return leap3_isotropic if uniform_h else leap3_exact
 
 
+def _w_ring_n(K: int, R: int, zl: int, unroll: int, pb: int = 1) -> int:
+    """w-ring depth: plane j's scale is fetched zl ahead of its stage-1
+    leap and last read by stage K, (K-1)*R planes ((K-1) chunks for pb=2)
+    later; +1 slack for slot-reuse safety. Power of two, so it divides (or
+    is divided by) the power-of-two UNROLL."""
+    d = (K - 1) * (1 if pb == 2 else R)
+    need = d + 1 + zl + 1
+    return 1 << max(0, need - 1).bit_length()
+
+
 def _sweep_kernel(
     u_hbm,
     zr_hbm,
+    w_hbm,
     out_hbm,
     cur_ring,
     cur32_ring,
@@ -441,10 +511,12 @@ def _sweep_kernel(
     stage_ring,
     out_ring,
     zr_ring,
+    w_ring,
     sem_cur,
     sem_prev,
     sem_out,
     sem_zr,
+    sem_w,
     *,
     grid: Grid3D,
     dt: float,
@@ -457,7 +529,10 @@ def _sweep_kernel(
     z_embed: bool = False,
     frozen_lo: int = 0,
     frozen_hi: int = 0,
+    frozen_ylo: int = 0,
+    frozen_yhi: int = 0,
     bf16: bool = False,
+    variable_m: bool = False,
     rings=PROFILE_STD,
 ):
     """frozen_lo/frozen_hi: interior planes [0, frozen_lo) and
@@ -481,7 +556,11 @@ def _sweep_kernel(
     nx, ny, nz = grid.nx, grid.ny, grid.nz
     fl, fh = frozen_lo, frozen_hi
     nyp = ny + 2 * py
-    leap = _make_leap(grid, dt, m_val, use_roll=use_roll, z_embed=z_embed)
+    leap = _make_leap(
+        grid, dt, m_val, use_roll=use_roll, z_embed=z_embed,
+        variable_m=variable_m, frozen_ylo=frozen_ylo, frozen_yhi=frozen_yhi,
+    )
+    W_N = _w_ring_n(K, R, ZL, UNROLL)
     n_iter = nx + 2 * R * (K - 1)
     j0 = -(K - 1) * R  # stage-1 plane index at iteration 0 (interior coords)
     cur_lvl = cur if K == 1 else 1
@@ -534,6 +613,19 @@ def _sweep_kernel(
         """Rim plane for interior index j - d_back, static ring slot."""
         return zr_ring[(j0 + k - d_back) % ZR_RING]
 
+    # w ring (variable_m only): per-plane medium scale, same fetch cadence
+    # and reuse pattern as the z-rim ring (one plane per iteration, last
+    # read by stage K R*(K-1) iterations later), active in BOTH rim modes.
+    def fetch_w(i, slot: int):
+        return pltpu.make_async_copy(
+            w_hbm.at[px + i], w_ring.at[slot], sem_w.at[slot]
+        )
+
+    def w_at(d_back: int, k: int):
+        if not variable_m:
+            return None
+        return w_ring[(j0 + k - d_back) % W_N]
+
     def write_out(lvl: int, slot: int, X):
         # lvl 0 -> u_{n+K-1} (new prev), lvl 1 -> u_{n+K} (new cur); for
         # K == 1 the single output overwrites the prev level (2-buffer ring).
@@ -558,6 +650,9 @@ def _sweep_kernel(
     if use_zr:
         for a in range(min(ZL, nx)):
             fetch_zr(a, a % ZR_RING).start()
+    if variable_m:
+        for a in range(min(ZL, nx)):
+            fetch_w(a, a % W_N).start()
 
     # The x sweep runs in blocks of UNROLL unrolled iterations so that EVERY
     # ring slot index is a compile-time constant (UNROLL*b contributes 0 mod
@@ -613,6 +708,10 @@ def _sweep_kernel(
             fetch_zr(j + ZL, (j0 + k + ZL) % ZR_RING).start()
         if use_zr and cond(None, "zr_wait"):
             fetch_zr(j, (j0 + k) % ZR_RING).wait()
+        if variable_m and cond(None, "zr_issue"):
+            fetch_w(j + ZL, (j0 + k + ZL) % W_N).start()
+        if variable_m and cond(None, "zr_wait"):
+            fetch_w(j, (j0 + k) % W_N).wait()
 
         def cur_at(d: int):  # cur plane at X1 + d, static slot
             return c32[(px + j0 + k + d) % CUR_RING]
@@ -630,7 +729,7 @@ def _sweep_kernel(
                 if bf16:
                     pv_rows = pv_rows.astype(jnp.float32)
                 zr1 = None if z_embed else zr_at(0, k)
-                upd = leap(planes1, pv_rows, zr1, py, ny)
+                upd = leap(planes1, pv_rows, zr1, py, ny, w_at(0, k))
             else:
                 # frozen margin plane: rims are identical across levels, so
                 # writing the cur value into the prev level is a no-op value-wise
@@ -652,7 +751,7 @@ def _sweep_kernel(
             if bf16:
                 pv_rows = pv_rows.astype(jnp.float32)
             zr1 = None if z_embed else zr_at(0, k)
-            upd1 = leap(planes1, pv_rows, zr1, py, ny)
+            upd1 = leap(planes1, pv_rows, zr1, py, ny, w_at(0, k))
             stage_ring[0, s1_slot, py : py + ny] = upd1
             stage_ring[0, s1_slot, 0:py] = cy1[0:py, :]
             stage_ring[0, s1_slot, py + ny :] = cy1[py + ny :, :]
@@ -677,7 +776,8 @@ def _sweep_kernel(
                     else:
                         pvs = stage_ring[st - 3, ks]
                     zrs = None if z_embed else zr_at(R * (st - 1), k)
-                    upd = leap(planes, pvs[py : py + ny, :], zrs, py, ny)
+                    upd = leap(planes, pvs[py : py + ny, :], zrs, py, ny,
+                               w_at(R * (st - 1), k))
                     stage_ring[st - 1, ks, py : py + ny] = upd
                     stage_ring[st - 1, ks, 0:py] = cyS[0:py, :]
                     stage_ring[st - 1, ks, py + ny :] = cyS[py + ny :, :]
@@ -695,7 +795,8 @@ def _sweep_kernel(
                     else:
                         pvs = stage_ring[st - 3, ks]
                     zrs = None if z_embed else zr_at(R * (st - 1), k)
-                    upd = leap(planes, pvs[py : py + ny, :], zrs, py, ny)
+                    upd = leap(planes, pvs[py : py + ny, :], zrs, py, ny,
+                               w_at(R * (st - 1), k))
                 else:
                     # frozen margin plane: pass the cur value through
                     upd = cyS[py : py + ny, :]
@@ -773,6 +874,7 @@ def _sweep_kernel(
 def _sweep_kernel_pair(
     u_hbm,
     zr_hbm,
+    w_hbm,
     out_hbm,
     cur_ring,
     cur32_ring,
@@ -780,10 +882,12 @@ def _sweep_kernel_pair(
     stage_ring,
     out_ring,
     zr_ring,
+    w_ring,
     sem_cur,
     sem_prev,
     sem_out,
     sem_zr,
+    sem_w,
     *,
     grid: Grid3D,
     dt: float,
@@ -796,7 +900,10 @@ def _sweep_kernel_pair(
     z_embed: bool = False,
     frozen_lo: int = 0,
     frozen_hi: int = 0,
+    frozen_ylo: int = 0,
+    frozen_yhi: int = 0,
     bf16: bool = False,
+    variable_m: bool = False,
     rings=PAIR_PROFILE_STD,
 ):
     """Paired-plane (pb=2) variant of _sweep_kernel: every ring slot, DMA
@@ -830,8 +937,10 @@ def _sweep_kernel_pair(
     flc, fhc = frozen_lo // PB, frozen_hi // PB
     nyp = ny + 2 * py
     leap = _make_leap(
-        grid, dt, m_val, use_roll=use_roll, z_embed=z_embed, pb=PB
+        grid, dt, m_val, use_roll=use_roll, z_embed=z_embed, pb=PB,
+        variable_m=variable_m, frozen_ylo=frozen_ylo, frozen_yhi=frozen_yhi,
     )
+    W_N = _w_ring_n(K, R, ZL, UNROLL, pb=PB)
     n_iter = nxc + 2 * (K - 1)
     j0 = -(K - 1)  # stage-1 chunk index at iteration 0 (interior chunks)
     cur_lvl = cur if K == 1 else 1
@@ -876,6 +985,17 @@ def _sweep_kernel_pair(
     def zr_at(d_back: int, k: int):
         return zr_ring[(j0 + k - d_back) % ZR_N]
 
+    def fetch_w(i, slot: int):
+        return pltpu.make_async_copy(
+            w_hbm.at[pl.ds(px + PB * i, PB)], w_ring.at[slot],
+            sem_w.at[slot],
+        )
+
+    def w_at(d_back: int, k: int):
+        if not variable_m:
+            return None
+        return w_ring[(j0 + k - d_back) % W_N]
+
     def write_out(lvl: int, slot: int, Xp):
         dst = prev_lvl if K == 1 else lvl
         return pltpu.make_async_copy(
@@ -904,6 +1024,9 @@ def _sweep_kernel_pair(
     if use_zr:
         for a in range(min(ZL, nxc)):
             fetch_zr(a, a % ZR_N).start()
+    if variable_m:
+        for a in range(min(ZL, nxc)):
+            fetch_w(a, a % W_N).start()
 
     n_blk = -(-n_iter // UNROLL)
 
@@ -940,6 +1063,10 @@ def _sweep_kernel_pair(
             fetch_zr(j + ZL, (j0 + k + ZL) % ZR_N).start()
         if use_zr and cond(None, "zr_wait"):
             fetch_zr(j, (j0 + k) % ZR_N).wait()
+        if variable_m and cond(None, "zr_issue"):
+            fetch_w(j + ZL, (j0 + k + ZL) % W_N).start()
+        if variable_m and cond(None, "zr_wait"):
+            fetch_w(j, (j0 + k) % W_N).wait()
 
         def cur_at(dc: int):  # cur chunk at chunk offset dc, static slot
             return c32[(pxc + j0 + k + dc) % CUR_N]
@@ -957,7 +1084,7 @@ def _sweep_kernel_pair(
                 if bf16:
                     pv_rows = pv_rows.astype(jnp.float32)
                 zr1 = None if z_embed else zr_at(0, k)
-                upd = leap(planes1, pv_rows, zr1, py, ny)
+                upd = leap(planes1, pv_rows, zr1, py, ny, w_at(0, k))
             else:
                 upd = cy1[:, py : py + ny, :]
             if cond(None, "out_wait1"):
@@ -972,7 +1099,7 @@ def _sweep_kernel_pair(
             if bf16:
                 pv_rows = pv_rows.astype(jnp.float32)
             zr1 = None if z_embed else zr_at(0, k)
-            upd1 = leap(planes1, pv_rows, zr1, py, ny)
+            upd1 = leap(planes1, pv_rows, zr1, py, ny, w_at(0, k))
             stage_ring[0, s1_slot, :, py : py + ny] = upd1
             stage_ring[0, s1_slot, :, 0:py] = cy1[:, 0:py, :]
             stage_ring[0, s1_slot, :, py + ny :] = cy1[:, py + ny :, :]
@@ -998,7 +1125,8 @@ def _sweep_kernel_pair(
                     else:
                         pvs = stage_ring[st - 3, ks]
                     zrs = None if z_embed else zr_at(st - 1, k)
-                    upd = leap(planes, pvs[:, py : py + ny, :], zrs, py, ny)
+                    upd = leap(planes, pvs[:, py : py + ny, :], zrs, py, ny,
+                               w_at(st - 1, k))
                     stage_ring[st - 1, ks, :, py : py + ny] = upd
                     stage_ring[st - 1, ks, :, 0:py] = cyS[:, 0:py, :]
                     stage_ring[st - 1, ks, :, py + ny :] = cyS[:, py + ny :, :]
@@ -1015,7 +1143,8 @@ def _sweep_kernel_pair(
                     else:
                         pvs = stage_ring[st - 3, ks]
                     zrs = None if z_embed else zr_at(st - 1, k)
-                    upd = leap(planes, pvs[:, py : py + ny, :], zrs, py, ny)
+                    upd = leap(planes, pvs[:, py : py + ny, :], zrs, py, ny,
+                               w_at(st - 1, k))
                 else:
                     upd = cyS[:, py : py + ny, :]
                 out_ring[1, o_slot] = ocast(upd)
@@ -1090,7 +1219,8 @@ def _sweep_kernel_pair(
     jax.jit,
     static_argnames=(
         "grid", "dt", "m_val", "k_fuse", "cur", "interpret", "vmem_limit",
-        "frozen_lo", "frozen_hi", "ring_profile", "pair",
+        "frozen_lo", "frozen_hi", "frozen_ylo", "frozen_yhi",
+        "ring_profile", "pair",
     ),
 )
 def sweep_fused(
@@ -1106,11 +1236,24 @@ def sweep_fused(
     vmem_limit: int = 130 * 1024 * 1024,
     frozen_lo: int = 0,
     frozen_hi: int = 0,
+    frozen_ylo: int = 0,
+    frozen_yhi: int = 0,
     ring_profile: str = "auto",
     pair: str = "auto",
+    w: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """K fused in-place leapfrog steps on packed U[2] = [u_{n-1}, u_n]
     (sweep-layout cores); returns U holding [u_{n+K-1}, u_{n+K}].
+
+    w: heterogeneous-medium mode — a [nxp, nyp, core_nz] f32 array of the
+    per-point update scale (dt^2/(hx^2*m) when hx == hy == hz, else
+    dt^2/m; precompute in f64 and round — more accurate than the
+    reference's runtime f32 division, openacc.cpp:107). When given, m_val
+    is ignored and every leap multiplies by this plane's w rows in the
+    same vector op that applied the scalar, so variable media cost only
+    the extra w DMA stream (4/K B/pt/step — m is read once per K-block).
+    Rim cells of w are never read (rims are frozen); in z_embed mode dead
+    lanes may hold anything finite (the update is masked back to cur).
 
     pair: "auto" (default) runs the paired-plane kernel when eligible
     (radius 2, even nx/px/frozen margins, VMEM fits); "off" forces the
@@ -1126,6 +1269,9 @@ def sweep_fused(
 
     frozen_lo/frozen_hi freeze the first/last interior planes (copied, never
     leap-updated) — the edge-shard margins of the sharded sweep.
+    frozen_ylo/frozen_yhi freeze the first/last interior ROWS of every
+    computed plane (row-masked in the leap) — the y-edge-shard margins of
+    the 2-D-mesh sharded sweep.
     """
     K = k_fuse
     nxp, nyp, nz = U.shape[1], U.shape[2], U.shape[3]
@@ -1188,6 +1334,23 @@ def sweep_fused(
             f"frozen margins out of range: {frozen_lo}+{frozen_hi} vs"
             f" nx={grid.nx}"
         )
+    if frozen_ylo < 0 or frozen_yhi < 0 or frozen_ylo + frozen_yhi > ny:
+        raise ValueError(
+            f"frozen y margins out of range: {frozen_ylo}+{frozen_yhi} vs"
+            f" ny={ny}"
+        )
+    variable_m = w is not None
+    if variable_m:
+        if w.dtype != jnp.float32:
+            raise ValueError(
+                f"w (per-point medium scale) must be float32; got {w.dtype}"
+            )
+        if tuple(w.shape) != (nxp, nyp, nz):
+            raise ValueError(
+                f"w must match the sweep core layout {(nxp, nyp, nz)};"
+                f" got {tuple(w.shape)} — build it from the medium via"
+                f" ZSplitLayout.split and the dt^2/(h^2*m) scale"
+            )
 
     if pair not in ("auto", "on", "off"):
         raise ValueError(f"pair must be 'auto', 'on' or 'off'; got {pair!r}")
@@ -1207,7 +1370,8 @@ def sweep_fused(
     pb = 2 if pair != "off" and pair_ok else 1
     if pair == "auto" and pb == 2 and (
         core_nz(grid) < 256
-        or vmem_bytes(grid, K, px, py, bf16, pb=2) > VMEM_BUDGET
+        or vmem_bytes(grid, K, px, py, bf16, pb=2, variable_m=variable_m)
+        > VMEM_BUDGET
     ):
         # measured (v5e, 50 steps, K=4): pairing wins only at plane widths
         # >= 256 lanes (192^3 z-embed: +9.6%, 256^3: +2.9%) and loses at
@@ -1222,9 +1386,17 @@ def sweep_fused(
         _sweep_kernel_pair if pb == 2 else _sweep_kernel,
         grid=grid, dt=dt, m_val=m_val, K=K, px=px, py=py,
         cur=cur, use_roll=not interpret, z_embed=z_embed,
-        frozen_lo=frozen_lo, frozen_hi=frozen_hi, bf16=bf16, rings=rings,
+        frozen_lo=frozen_lo, frozen_hi=frozen_hi,
+        frozen_ylo=frozen_ylo, frozen_yhi=frozen_yhi, bf16=bf16,
+        variable_m=variable_m, rings=rings,
     )
     sdt = U.dtype
+    wn = _w_ring_n(K, grid.radius, rings[6], rings[5], pb=pb)
+    if pb == 2:
+        w_ring_shape = (wn, 2, nyp, nz) if variable_m else (1, 1, 8, 128)
+    else:
+        w_ring_shape = (wn, nyp, nz) if variable_m else (1, 8, 128)
+    w_arg = w if variable_m else jnp.zeros((1, 8, 128), jnp.float32)
     if pb == 2:
         stage_shape = (
             (K - 1, PAIR_STAGE_RING, 2, nyp, nz) if K > 1 else (1, 1, 1, 8, 128)
@@ -1241,10 +1413,12 @@ def sweep_fused(
                 (1, 1, 8, 128) if z_embed else (zr_n, 2, nyp, ZR_LANES),
                 jnp.float32,
             ),
+            pltpu.VMEM(w_ring_shape, jnp.float32),
             pltpu.SemaphoreType.DMA((cur_n,)),
             pltpu.SemaphoreType.DMA((prev_n,)),
             pltpu.SemaphoreType.DMA((2, out_n)),
             pltpu.SemaphoreType.DMA((zr_n,)),
+            pltpu.SemaphoreType.DMA((wn if variable_m else 1,)),
         ]
     else:
         scratch = [
@@ -1262,13 +1436,17 @@ def sweep_fused(
                 (1, 8, 128) if z_embed else (zr_n, nyp, ZR_LANES),
                 jnp.float32,
             ),
+            pltpu.VMEM(w_ring_shape, jnp.float32),
             pltpu.SemaphoreType.DMA((cur_n,)),
             pltpu.SemaphoreType.DMA((prev_n,)),
             pltpu.SemaphoreType.DMA((2, out_n)),
             pltpu.SemaphoreType.DMA((zr_n,)),
+            pltpu.SemaphoreType.DMA((wn if variable_m else 1,)),
         ]
     flops_per_pt = K * (3 * (grid.order + 1) * 2 + 6)
     bytes_pt = 8 if bf16 else 16  # 2 reads + 2 writes per call
+    if variable_m:
+        bytes_pt += 4  # the w stream, read once per K-block call
     cost = pl.CostEstimate(
         flops=flops_per_pt * grid.interior_cells,
         bytes_accessed=bytes_pt * grid.interior_cells,
@@ -1278,6 +1456,7 @@ def sweep_fused(
         kern,
         grid=(),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -1290,4 +1469,4 @@ def sweep_fused(
             has_side_effects=True, vmem_limit_bytes=vmem_limit
         ),
         interpret=interpret,
-    )(U, zrim)
+    )(U, zrim, w_arg)

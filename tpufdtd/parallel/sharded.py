@@ -36,8 +36,17 @@ from ..ops import stencil_jnp
 from ..sources import build_source_term
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = "x") -> Mesh:
+def make_mesh(n_devices: Optional[int] = None, axis: str = "x",
+              shape: Optional[Tuple[int, int]] = None,
+              axes: Tuple[str, str] = ("x", "y")) -> Mesh:
+    """1-D mesh over the first n_devices (default), or a 2-D (ndx, ndy)
+    mesh when `shape` is given — the 2-D mesh runs the sweep engine with
+    x- AND y-split shards (sharded_sweep 2-D path)."""
     devs = jax.devices()
+    if shape is not None:
+        ndx, ndy = shape
+        devs = devs[: ndx * ndy]
+        return Mesh(np.array(devs).reshape(ndx, ndy), axes)
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
@@ -115,6 +124,25 @@ class ShardedSimulator:
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.ndev = mesh.devices.size
+        self.mesh_2d = len(mesh.axis_names) > 1
+        if self.mesh_2d:
+            # 2-D (x, y) meshes run ONLY the sweep engine (the per-step
+            # fallback program is 1-D); build it now and fail loudly if the
+            # configuration can't use it
+            from .sharded_sweep import SweepShard
+
+            self.sweep = SweepShard.try_build(grid, cfg, m, mesh, src_coords)
+            if self.sweep is None:
+                raise ValueError(
+                    "a 2-D mesh requires the sharded sweep engine:"
+                    " backend='pallas', order <= 4, nx % ndx == 0,"
+                    " ny % ndy == 0, per-shard nx and ny >= K*radius with"
+                    " sublane-aligned extended rows, and sources (if any)"
+                    " fully inside the global interior"
+                )
+            self.h = grid.halo
+            self.R = grid.radius
+            return
         self.lgrid = _local_grid(grid, self.ndev)
         self.layout = Layout.reference(self.lgrid)
         self.h = grid.halo
@@ -319,6 +347,12 @@ class ShardedSimulator:
         ):
             U, zrT = self.sweep.prepare(np.asarray(u_prev), np.asarray(u_cur))
             return {"sweep": (U, zrT)}, None, None
+        if self.mesh_2d:
+            raise ValueError(
+                "the 2-D-mesh sharded sweep needs identical rims across all"
+                " ring levels (standard ICs satisfy this); differing rims"
+                " require the exact 3-level ring, which is 1-D-mesh only"
+            )
         sdt = (
             jnp.bfloat16 if self.cfg.storage_dtype == "bfloat16"
             else jnp.float32

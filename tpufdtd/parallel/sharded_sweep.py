@@ -1,5 +1,5 @@
 """Sharded v5 sweep engine: temporally-fused plane sweeps per shard with a
-deep halo exchange once per K-step block.
+deep halo exchange once per K-step block, over a 1-D (x) or 2-D (x, y) mesh.
 
 This is the multi-chip form of the flagship sweep kernel
 (ops/stencil_sweep.py), replacing the per-step jnp/v2 sharded stepper for
@@ -8,9 +8,9 @@ grids over one GPU's memory, main.cpp:337-341).
 
 Design (TPU-native temporal blocking across the mesh):
 
-  * The global x axis is split over a 1-D mesh; each shard's working block is
-    its nx/ndev interior planes EXTENDED by M = (K-1)*R redundant planes per
-    side, plus px >= K*R pad planes.
+  * The global x axis is split over the mesh's first axis; each shard's
+    working block is its nx/ndx interior planes EXTENDED by M = (K-1)*R
+    redundant planes per side, plus px >= K*R pad planes.
   * One `lax.ppermute` per K-step fused block exchanges D = K*R planes of
     both packed U levels per direction — 3x fewer collectives than per-step
     halo exchange, and the fused kernel keeps its 4/3-HBM-passes-per-step
@@ -22,18 +22,30 @@ Design (TPU-native temporal blocking across the mesh):
     next exchange.
   * Edge shards' margins overlay the global frozen x rim; recomputing them
     would poison inner stages, so the kernel freezes them statically
-    (frozen_lo/frozen_hi) — selected per shard with a 3-way `lax.switch`
-    on `axis_index` (left edge / interior / right edge).
+    (frozen_lo/frozen_hi) — selected per shard with a `lax.switch` on
+    `axis_index` (left edge / interior / right edge).
+  * 2-D mesh: the y axis splits over the mesh's second axis by the SAME
+    margin calculus, rotated: each shard carries ny/ndy rows extended by
+    M rows per side, a second ppermute exchanges D = K*R rows per block,
+    and y-edge shards freeze their margin rows via the kernel's
+    frozen_ylo/frozen_yhi row mask (stencil_sweep._make_leap.finish). The
+    y exchange runs BEFORE the x exchange so the x-sent planes carry
+    freshly-refreshed y rows — corner (diagonal-neighbor) data then arrives
+    in two hops with no dedicated diagonal collective.
   * Sources are exact for ANY position (including shard-straddling): corner
     deposits and the fusion propagation cubes (sources.injection_cubes_upto)
     are flattened on the host into per-shard (ix,iy,iz,val,j,p) entry lists,
     padded to a uniform count, and applied post-block as two scatter-adds
     with step rows kk-j (level 1) and kk-1-j (level 0) — the same
     superposition algebra as the single-chip _sw_correct.
+  * Heterogeneous media: each shard streams its slab of the per-point w
+    scale (ops/stencil_sweep sweep_fused w docs); the slab cut fills the
+    redundancy margins from the real global medium, and w is time-invariant
+    so it is never exchanged.
 
-Why M <= halo: an edge shard's frozen margin planes are global pad planes,
-which exist (and hold the frozen rim values) only halo deep — this caps the
-sharded fusion depth at K <= halo/R + 1 = 3 for order 4.
+Why M <= halo: an edge shard's frozen margin planes/rows are global pad
+cells, which exist (and hold the frozen rim values) only halo deep — this
+caps the sharded fusion depth at K <= halo/R + 1 = 3 for order 4.
 """
 
 from __future__ import annotations
@@ -90,33 +102,49 @@ class SweepShard:
         bf16 = cfg.storage_dtype == "bfloat16"
         if cfg.storage_dtype not in ("float32", "bfloat16"):
             return None
-        if bf16 and grid.ny % 16 != 0:
-            # bf16 (16, 128) tile needs 16-aligned interior rows (py = 16)
-            return None
         m_np = np.asarray(m_ref, np.float32)
         uniform = cfg.assume_uniform_m
         if uniform is None:
             uniform = bool(np.all(m_np == m_np.flat[0]))
-        if not uniform:
+        if len(mesh.axis_names) not in (1, 2):
             return None
-        ndev = mesh.devices.size
-        if grid.nx % ndev != 0:
+        ndx = int(mesh.shape[mesh.axis_names[0]])
+        ndy = (
+            int(mesh.shape[mesh.axis_names[1]])
+            if len(mesh.axis_names) > 1
+            else 1
+        )
+        if grid.nx % ndx != 0 or grid.ny % ndy != 0:
             return None
-        nxl = grid.nx // ndev
+        nxl = grid.nx // ndx
+        nyl = grid.ny // ndy
+        ymul = 16 if bf16 else 8
         R, h = grid.radius, grid.halo
-        if grid.radius > 2 or grid.ny % 8 != 0:
+        if grid.radius > 2:
             return None
         want = 3 if cfg.t_fuse == 0 else min(cfg.t_fuse, 3)
         k_sel = 0
         py = 16 if bf16 else 8
         for k in range(want, 1, -1):
-            if nxl < k * R or (k - 1) * R > h:
+            M = (k - 1) * R
+            nyk = nyl + (2 * M if ndy > 1 else 0)
+            if nyk % ymul != 0:
+                # the extended row count must stay sublane-tile aligned (the
+                # kernel's interior-row DMAs are py-offset slices)
                 continue
-            ge = dataclasses.replace(grid, nx=nxl + 2 * (k - 1) * R)
+            if nxl < k * R or M > h:
+                continue
+            if ndy > 1 and (nyl < k * R or M > h):
+                continue
+            ge = dataclasses.replace(
+                grid, nx=nxl + 2 * M, ny=nyk
+            )
             px = max(h, k * R)
             if (
                 k <= stencil_sweep.max_k_fuse(ge, px, py)
-                and stencil_sweep.vmem_bytes(ge, k, px, py, bf16)
+                and stencil_sweep.vmem_bytes(
+                    ge, k, px, py, bf16, variable_m=not uniform
+                )
                 <= stencil_sweep.VMEM_BUDGET
             ):
                 k_sel = k
@@ -124,16 +152,20 @@ class SweepShard:
         if k_sel < 2:
             return None
 
-        m_val = float(m_np.flat[0])
+        m_val = float(m_np.flat[0]) if uniform else None
         entries = None
         if src_coords is not None and np.asarray(src_coords).size:
             ref_term = build_source_term(grid, src_coords, m_np)
+            # heterogeneous m: cube propagation reads the local reference-
+            # layout m window (ref_term indices ARE reference coords here)
             cubes = injection_cubes_upto(grid, ref_term, m_val, cfg.dt,
-                                         kmax=k_sel)
+                                         kmax=k_sel,
+                                         m_core=None if uniform else m_np)
             if not _cubes_fit_global(cubes, grid):
                 return None
             entries = SweepShard._flatten_entries(grid, ref_term, cubes)
         return SweepShard(grid, cfg, mesh, k_sel, m_val, entries,
+                          m_ref=None if uniform else m_np,
                           nsrc=0 if src_coords is None
                           else int(np.asarray(src_coords).shape[0]))
 
@@ -157,33 +189,68 @@ class SweepShard:
                                  int(j), int(p)))
         return rows
 
-    def __init__(self, grid, cfg, mesh, K, m_val, entries, nsrc):
+    def __init__(self, grid, cfg, mesh, K, m_val, entries, nsrc,
+                 m_ref=None):
         from ..ops import stencil_sweep
 
         self.grid = grid
         self.cfg = cfg
         self.mesh = mesh
-        self.axis = mesh.axis_names[0]
+        self.ax_x = mesh.axis_names[0]
+        self.ax_y = mesh.axis_names[1] if len(mesh.axis_names) > 1 else None
+        self.ndx = int(mesh.shape[self.ax_x])
+        self.ndy = int(mesh.shape[self.ax_y]) if self.ax_y else 1
         self.ndev = mesh.devices.size
         self.K = K
         self.R = grid.radius
         self.h = grid.halo
         self.M = (K - 1) * self.R
-        self.nxl = grid.nx // self.ndev
+        self.My = self.M if self.ndy > 1 else 0
+        self.nxl = grid.nx // self.ndx
+        self.nyl = grid.ny // self.ndy
         self.m_val = m_val
         self.nsrc = nsrc
         self._sweep = stencil_sweep
         self._interpret = jax.default_backend() != "tpu"
 
         self.bf16 = cfg.storage_dtype == "bfloat16"
-        self.lgrid = dataclasses.replace(grid, nx=self.nxl + 2 * self.M)
+        self.lgrid = dataclasses.replace(
+            grid, nx=self.nxl + 2 * self.M, ny=self.nyl + 2 * self.My
+        )
         ze = stencil_sweep.z_embedded(grid)
         self.lay = ZSplitLayout(
             self.lgrid, py=16 if self.bf16 else 8,
             xpad=max(self.h, K * self.R), z_embed=ze,
         )
+        self.w_sharded = None
+        if m_ref is not None:
+            # per-point update scale in per-shard sweep layout, f64-
+            # precomputed (see ops/stencil_sweep.sweep_fused w docs); the
+            # exchanged redundancy margins cover neighbor-interior planes,
+            # whose w is filled from the real global medium by the slab cut
+            md = np.asarray(m_ref, np.float64)
+            if grid.hx == grid.hy == grid.hz:
+                num = float(cfg.dt) ** 2 / float(grid.hx) ** 2
+            else:
+                num = float(cfg.dt) ** 2
+            w_ref = np.where(md > 0, num / np.where(md > 0, md, 1.0), 0.0)
+            w_ref = w_ref.astype(np.float32)
+            self.w_sharded = jax.device_put(
+                jnp.asarray(self._assemble(w_ref, lambda s: self.lay.split(s)[0]),
+                            jnp.float32),
+                NamedSharding(self.mesh, self._spec_xy()),
+            )
         self.packed_entries = self._distribute_entries(entries)
         self._build_program()
+
+    def _spec_xy(self):
+        return P(self.ax_x, self.ax_y) if self.ax_y else P(self.ax_x)
+
+    def _spec_u(self):
+        return (
+            P(None, self.ax_x, self.ax_y) if self.ax_y
+            else P(None, self.ax_x)
+        )
 
     # ---- host-side data movement -------------------------------------------
 
@@ -192,65 +259,83 @@ class SweepShard:
         padded to a uniform count (val=0 padding rows scatter nothing)."""
         if not rows:
             return None
-        h, M, px, py = self.h, self.M, self.lay.px, self.lay.py
+        h, M, My = self.h, self.M, self.My
+        px, py = self.lay.px, self.lay.py
         ze = self.lay.z_embed
-        per = [[] for _ in range(self.ndev)]
+        per = [[[] for _ in range(self.ndy)] for _ in range(self.ndx)]
         for gx, gy, gz, val, j, p in rows:
-            d = min(max((gx - h) // self.nxl, 0), self.ndev - 1)
-            lx = px + M + (gx - h - d * self.nxl)
-            ly = py + (gy - h)
+            dx = min(max((gx - h) // self.nxl, 0), self.ndx - 1)
+            dy = min(max((gy - h) // self.nyl, 0), self.ndy - 1)
+            lx = px + M + (gx - h - dx * self.nxl)
+            ly = py + My + (gy - h - dy * self.nyl)
             lz = gz if ze else gz - h
-            per[d].append((lx, ly, lz, val, j, p))
-        E = max(len(x) for x in per)
-        out = np.zeros((self.ndev, E, 6), np.float64)
-        for d, lst in enumerate(per):
-            for i, row in enumerate(lst):
-                out[d, i] = row
-        sh = NamedSharding(self.mesh, P(self.axis))
+            per[dx][dy].append((lx, ly, lz, val, j, p))
+        E = max(len(cell) for col in per for cell in col)
+        out = np.zeros((self.ndx, self.ndy, E, 6), np.float64)
+        for dx in range(self.ndx):
+            for dy in range(self.ndy):
+                for i, row in enumerate(per[dx][dy]):
+                    out[dx, dy, i] = row
+        if not self.ax_y:
+            out = out[:, 0]
+        sh = NamedSharding(self.mesh, self._spec_xy())
         put = lambda a, dt: jax.device_put(jnp.asarray(a, dt), sh)
         return (
-            put(out[:, :, 0], jnp.int32),
-            put(out[:, :, 1], jnp.int32),
-            put(out[:, :, 2], jnp.int32),
-            put(out[:, :, 3], jnp.float32),
-            put(out[:, :, 4], jnp.int32),
-            put(out[:, :, 5], jnp.int32),
+            put(out[..., 0], jnp.int32),
+            put(out[..., 1], jnp.int32),
+            put(out[..., 2], jnp.int32),
+            put(out[..., 3], jnp.float32),
+            put(out[..., 4], jnp.int32),
+            put(out[..., 5], jnp.int32),
         )
 
-    def _local_slabs(self, arr_ref: np.ndarray) -> list:
-        """Global reference array -> per-shard extended local reference
-        slabs [nxl + 2M + 2h, nyp, nzp] (out-of-global planes zero: they are
-        never read into true-interior results)."""
+    def _local_slab(self, arr_ref: np.ndarray, dx: int, dy: int) -> np.ndarray:
+        """Global reference array -> one shard's extended local reference
+        slab [nxl + 2M + 2h, nyl + 2My + 2h, nzp] (out-of-global cells zero:
+        they are never read into true-interior results)."""
         arr_ref = np.asarray(arr_ref)
-        nxl, M, h = self.nxl, self.M, self.h
-        w = nxl + 2 * M + 2 * h
-        slabs = []
-        for d in range(self.ndev):
-            sx0 = d * nxl - M  # reference index of slab plane 0
-            slab = np.zeros((w,) + arr_ref.shape[1:], arr_ref.dtype)
-            lo = max(0, sx0)
-            hi = min(arr_ref.shape[0], sx0 + w)
-            slab[lo - sx0 : hi - sx0] = arr_ref[lo:hi]
-            slabs.append(slab)
-        return slabs
+        h = self.h
+        wx = self.nxl + 2 * self.M + 2 * h
+        wy = self.nyl + 2 * self.My + 2 * h
+        sx0 = dx * self.nxl - self.M
+        sy0 = dy * self.nyl - self.My
+        slab = np.zeros((wx, wy) + arr_ref.shape[2:], arr_ref.dtype)
+        lox, hix = max(0, sx0), min(arr_ref.shape[0], sx0 + wx)
+        loy, hiy = max(0, sy0), min(arr_ref.shape[1], sy0 + wy)
+        slab[lox - sx0 : hix - sx0, loy - sy0 : hiy - sy0] = (
+            arr_ref[lox:hix, loy:hiy]
+        )
+        return slab
+
+    def _assemble(self, arr_ref: np.ndarray, f) -> np.ndarray:
+        """Apply f(slab) per shard and tile the results into the global
+        device-array block layout [ndx*sx, ndy*sy, ...]."""
+        cols = []
+        for dx in range(self.ndx):
+            row = [
+                f(self._local_slab(arr_ref, dx, dy))
+                for dy in range(self.ndy)
+            ]
+            cols.append(np.concatenate(row, axis=1) if self.ndy > 1
+                        else row[0])
+        return np.concatenate(cols, axis=0)
 
     def prepare(self, u_prev: np.ndarray, u_cur: np.ndarray):
-        """(device U [2, ndev*nxp_l, nyp, nzc], device zrT) from global
+        """(device U [2, ndx*nxp_l, ndy*nyp_l, nzc], device zrT) from global
         reference-layout levels with identical rims."""
-        cores_p, cores_c, zrts = [], [], []
-        for sp, sc in zip(self._local_slabs(u_prev), self._local_slabs(u_cur)):
-            p_core, p_zrim = self.lay.split(sp)
-            c_core, _ = self.lay.split(sc)
-            cores_p.append(p_core)
-            cores_c.append(c_core)
-            zrts.append(
-                p_zrim if self.lay.z_embed
-                else self._sweep.pad_zrim(p_zrim)  # lane-padded rim planes
-            )
-        U = np.stack([np.concatenate(cores_p), np.concatenate(cores_c)])
-        zrT = np.concatenate(zrts)
-        shU = NamedSharding(self.mesh, P(None, self.axis))
-        shz = NamedSharding(self.mesh, P(self.axis))
+        split_core = lambda s: self.lay.split(s)[0]
+
+        def split_zrt(s):
+            zr = self.lay.split(s)[1]
+            return zr if self.lay.z_embed else self._sweep.pad_zrim(zr)
+
+        U = np.stack([
+            self._assemble(np.asarray(u_prev), split_core),
+            self._assemble(np.asarray(u_cur), split_core),
+        ])
+        zrT = self._assemble(np.asarray(u_prev), split_zrt)
+        shU = NamedSharding(self.mesh, self._spec_u())
+        shz = NamedSharding(self.mesh, self._spec_xy())
         sdt = jnp.bfloat16 if self.bf16 else jnp.float32
         return (
             jax.device_put(jnp.asarray(U, sdt), shU),
@@ -263,75 +348,136 @@ class SweepShard:
         f32 host-side (bf16 storage widens here)."""
         U = np.asarray(jnp.asarray(U, jnp.float32))
         zrT = np.asarray(zrT)
-        nxp_l = self.lay.core_shape[0]
-        g, h, M, nxl = self.grid, self.h, self.M, self.nxl
+        nxp_l, nyp_l = self.lay.core_shape[0], self.lay.core_shape[1]
+        h, M, My = self.h, self.M, self.My
+        nxl, nyl = self.nxl, self.nyl
+        g = self.grid
+        shape = (g.nx + 2 * h, g.ny + 2 * h, g.nz + 2 * h)
         outs = []
         for lvl in range(2):
-            parts = []
-            for d in range(self.ndev):
-                core = U[lvl, d * nxp_l : (d + 1) * nxp_l]
-                zr = zrT[d * nxp_l : (d + 1) * nxp_l]
-                if not self.lay.z_embed:
-                    zr = zr[:, :, : 2 * self.h]  # drop pad lanes
-                slab = self.lay.join(core, zr)
-                if d == 0:
-                    parts.append(slab[M : M + h])  # global lo x rim
-                parts.append(slab[M + h : M + h + nxl])
-                if d == self.ndev - 1:
-                    parts.append(slab[M + h + nxl : M + 2 * h + nxl])
-            outs.append(np.concatenate(parts))
+            out = np.zeros(shape, np.float32)
+            for dx in range(self.ndx):
+                for dy in range(self.ndy):
+                    core = U[lvl,
+                             dx * nxp_l : (dx + 1) * nxp_l,
+                             dy * nyp_l : (dy + 1) * nyp_l]
+                    zr = zrT[dx * nxp_l : (dx + 1) * nxp_l,
+                             dy * nyp_l : (dy + 1) * nyp_l]
+                    if not self.lay.z_embed:
+                        zr = zr[:, :, : 2 * h]  # drop pad lanes
+                    slab = self.lay.join(core, zr)
+                    # slab local ref coords: global ref x = sx0 + lx
+                    # (slab[0:M) is zero-fill beyond the global array)
+                    sx0 = dx * nxl - M
+                    sy0 = dy * nyl - My
+                    # interior block always; global rims from edge shards
+                    x0 = M + h if dx else M
+                    x1 = M + h + nxl + (0 if dx < self.ndx - 1 else h)
+                    y0 = My + h if dy else My
+                    y1 = My + h + nyl + (0 if dy < self.ndy - 1 else h)
+                    out[sx0 + x0 : sx0 + x1, sy0 + y0 : sy0 + y1] = (
+                        slab[x0:x1, y0:y1]
+                    )
+            outs.append(out)
         return outs[0], outs[1]
 
     # ---- device program ------------------------------------------------------
 
     def _build_program(self):
-        K, M, R = self.K, self.M, self.R
+        K, M, My, R = self.K, self.M, self.My, self.R
         D = K * R
-        px = self.lay.px
+        px, py = self.lay.px, self.lay.py
         nxk = self.lgrid.nx
-        ax = self.axis
-        n = self.ndev
+        nyk = self.lgrid.ny
+        ax, ay = self.ax_x, self.ax_y
+        nx_, ny_ = self.ndx, self.ndy
         ge = self.lgrid
         dtv = self.cfg.dt
         m_val = self.m_val
         interp = self._interpret
         sweep_fused = self._sweep.sweep_fused
 
-        def exchange(U):
-            if n == 1:
+        def exchange_x(U):
+            if nx_ == 1:
                 return U
             send_left = U[:, px + M : px + M + D]
             send_right = U[:, px + nxk - M - D : px + nxk - M]
             from_left = jax.lax.ppermute(
-                send_right, ax, [(i, i + 1) for i in range(n - 1)]
+                send_right, ax, [(i, i + 1) for i in range(nx_ - 1)]
             )
             from_right = jax.lax.ppermute(
-                send_left, ax, [(i + 1, i) for i in range(n - 1)]
+                send_left, ax, [(i + 1, i) for i in range(nx_ - 1)]
             )
             idx = jax.lax.axis_index(ax)
             # edge shards keep their frozen rim + margin (ppermute delivers
             # zeros to unpaired receivers)
             lo = jnp.where(idx == 0, U[:, px - R : px - R + D], from_left)
             hi = jnp.where(
-                idx == n - 1, U[:, px + nxk - M : px + nxk - M + D], from_right
+                idx == nx_ - 1,
+                U[:, px + nxk - M : px + nxk - M + D], from_right,
             )
             U = U.at[:, px - R : px - R + D].set(lo)
             U = U.at[:, px + nxk - M : px + nxk - M + D].set(hi)
             return U
 
-        def kern(U, zrT, kk, cur=1):
-            def mk(flo, fhi):
+        def exchange_y(U):
+            """Same margin calculus as exchange_x, rotated onto rows. Runs
+            FIRST so the x exchange ships refreshed corner rows (diagonal
+            data arrives in two hops)."""
+            if ny_ == 1:
+                return U
+            send_lo = U[:, :, py + My : py + My + D]
+            send_hi = U[:, :, py + nyk - My - D : py + nyk - My]
+            from_lo = jax.lax.ppermute(
+                send_hi, ay, [(i, i + 1) for i in range(ny_ - 1)]
+            )
+            from_hi = jax.lax.ppermute(
+                send_lo, ay, [(i + 1, i) for i in range(ny_ - 1)]
+            )
+            idy = jax.lax.axis_index(ay)
+            lo = jnp.where(
+                idy == 0, U[:, :, py - R : py - R + D], from_lo
+            )
+            hi = jnp.where(
+                idy == ny_ - 1,
+                U[:, :, py + nyk - My : py + nyk - My + D], from_hi,
+            )
+            U = U.at[:, :, py - R : py - R + D].set(lo)
+            U = U.at[:, :, py + nyk - My : py + nyk - My + D].set(hi)
+            return U
+
+        def kern(U, zrT, wl, kk, cur=1):
+            def mk(flo, fhi, fylo, fyhi):
                 return lambda u: sweep_fused(
                     u, zrT, grid=ge, dt=dtv, m_val=m_val, k_fuse=kk, cur=cur,
                     interpret=interp, frozen_lo=flo, frozen_hi=fhi,
-                    pair=self.cfg.pair,
+                    frozen_ylo=fylo, frozen_yhi=fyhi,
+                    pair=self.cfg.pair, w=wl,
                 )
 
-            if n == 1:
-                return mk(M, M)(U)
-            idx = jax.lax.axis_index(ax)
-            case = jnp.where(idx == 0, 1, jnp.where(idx == n - 1, 2, 0))
-            return jax.lax.switch(case, [mk(0, 0), mk(M, 0), mk(0, M)], U)
+            # per-axis freeze cases: interior / lo edge / hi edge (a 1-shard
+            # axis is both edges at once)
+            cases_x = [(M, M)] if nx_ == 1 else [(0, 0), (M, 0), (0, M)]
+            cases_y = [(0, 0)] if ny_ == 1 else [(0, 0), (My, 0), (0, My)]
+            funcs = [
+                mk(fx[0], fx[1], fy[0], fy[1])
+                for fx in cases_x
+                for fy in cases_y
+            ]
+            if len(funcs) == 1:
+                return funcs[0](U)
+            if nx_ == 1:
+                cx = jnp.int32(0)
+            else:
+                ix = jax.lax.axis_index(ax)
+                cx = jnp.where(ix == 0, 1, jnp.where(ix == nx_ - 1, 2, 0))
+            if ny_ == 1:
+                cy = jnp.int32(0)
+            else:
+                iy = jax.lax.axis_index(ay)
+                cy = jnp.where(iy == 0, 1, jnp.where(iy == ny_ - 1, 2, 0))
+            case = cx * len(cases_y) + cy
+            return jax.lax.switch(case, funcs, U)
 
         def correct(U, ent, s_blk, kk):
             """Post-block source superposition (matches the single-chip
@@ -344,15 +490,17 @@ class SweepShard:
             U = U.at[0, lix, liy, liz].add(v0.astype(U.dtype), mode="drop")
             return U
 
-        def local(U, zrT, ent, srct, nsteps):
+        def local(U, zrT, wl, ent, srct, nsteps):
             if ent is not None:
-                ent = tuple(a[0] for a in ent)  # drop the shard dim
+                # drop the shard dims (1 per mesh axis)
+                ent = tuple(a[0, 0] if ay else a[0] for a in ent)
             have_src = srct is not None and ent is not None
             nb, rem = divmod(nsteps, K)
 
             def block(U, s_blk, kk):
-                U = exchange(U)
-                U = kern(U, zrT, kk)
+                U = exchange_y(U)
+                U = exchange_x(U)
+                U = kern(U, zrT, wl, kk)
                 if have_src:
                     U = correct(U, ent, s_blk, kk)
                 return U
@@ -371,27 +519,31 @@ class SweepShard:
             if rem >= 2:
                 U = block(U, srct[nb * K :] if have_src else None, rem)
             elif rem == 1:
-                U = exchange(U)
-                U = kern(U, zrT, 1, cur=1)
+                U = exchange_y(U)
+                U = exchange_x(U)
+                U = kern(U, zrT, wl, 1, cur=1)
                 U = U[::-1]  # K=1 writes into level 0; restore (prev, cur)
                 if have_src:
                     U = correct(U, ent, srct[nb * K :], 1)
             return U
 
-        spec_U = P(None, ax)
-        spec_z = P(ax)
+        spec_U = self._spec_u()
+        spec_z = self._spec_xy()
 
-        def program(U, zrT, ent, srct, nsteps):
-            specs_ent = None if ent is None else tuple(P(ax) for _ in ent)
+        def program(U, zrT, wl, ent, srct, nsteps):
+            specs_ent = None if ent is None else tuple(
+                spec_z for _ in ent
+            )
             f = jax.shard_map(
-                lambda u, z, e, s: local(u, z, e, s, nsteps),
+                lambda u, z, wv, e, s: local(u, z, wv, e, s, nsteps),
                 mesh=self.mesh,
-                in_specs=(spec_U, spec_z, specs_ent,
+                in_specs=(spec_U, spec_z,
+                          None if wl is None else spec_z, specs_ent,
                           None if srct is None else P()),
                 out_specs=spec_U,
                 check_vma=False,
             )
-            return f(U, zrT, ent, srct)
+            return f(U, zrT, wl, ent, srct)
 
         self._program = jax.jit(
             program, static_argnames=("nsteps",), donate_argnums=(0,)
@@ -401,4 +553,5 @@ class SweepShard:
         srct = None
         if src is not None and self.packed_entries is not None:
             srct = jnp.asarray(np.asarray(src)[:nsteps], jnp.float32)
-        return self._program(U, zrT, self.packed_entries, srct, nsteps)
+        return self._program(U, zrT, self.w_sharded, self.packed_entries,
+                             srct, nsteps)

@@ -173,8 +173,17 @@ def injection_propagation_cubes(grid: Grid3D, core_term: SourceTerm, m_val: floa
 
 
 def injection_cubes_upto(grid: Grid3D, core_term: SourceTerm, m_val: float,
-                         dt: float, kmax: int):
+                         dt: float, kmax: int, m_core=None):
     """Correction cubes C_j (j = 2..kmax) for K-step temporal fusion.
+
+    m_core: heterogeneous-medium mode — the medium field in the SAME core
+    layout as core_term's (ix, iy, iz) indices (ZSplitLayout.split of the
+    reference m). Each source's mini propagation grid is then filled from
+    the local window around its deposit corners (FDTD is local: a deposit
+    spreads radius*(j-1) cells in j-1 steps, so only that window's m can
+    influence C_j; indices clamp at the core edge — clamped cells are
+    outside every kept cube whenever cubes_fit_core accepts). m_val is
+    ignored when m_core is given.
 
     Injection is linear, so a unit deposit made into u_{n+1} propagates
     through the homogeneous leapfrog as e_1 = w, e_j = A e_{j-1} - e_{j-2}
@@ -201,7 +210,8 @@ def injection_cubes_upto(grid: Grid3D, core_term: SourceTerm, m_val: float,
                   order=grid.order)
     h = mini.halo
     ctr = h + n_mini // 2 - 1  # a center cell with room
-    mfield = np.full(mini.padded_shape, np.float32(m_val), np.float32)
+    m_fill = np.float32(1.0) if m_val is None else np.float32(m_val)
+    mfield = np.full(mini.padded_shape, m_fill, np.float32)
     for p in range(core_term.nsrc):
         sel = core_term.src_idx == p
         if not np.any(sel):
@@ -211,6 +221,17 @@ def injection_cubes_upto(grid: Grid3D, core_term: SourceTerm, m_val: float,
         if sc.size == 0 or not np.any(sc != 0):
             continue
         fx, fy, fz = int(ix.min()), int(iy.min()), int(iz.min())
+        if m_core is not None:
+            # window radius: the kmax-1-step spread g + stencil reach R
+            wr = R * (kmax - 1) + R
+            di = np.arange(-wr, wr + 2)
+            cx = np.clip(fx + di, 0, m_core.shape[0] - 1)
+            cy = np.clip(fy + di, 0, m_core.shape[1] - 1)
+            cz = np.clip(fz + di, 0, m_core.shape[2] - 1)
+            mfield[:] = np.float32(m_core[fx, fy, fz])
+            mfield[np.ix_(ctr + di, ctr + di, ctr + di)] = np.asarray(
+                m_core, np.float32
+            )[np.ix_(cx, cy, cz)]
         w = np.zeros(mini.padded_shape, np.float32)
         for k in range(ix.shape[0]):
             w[ctr + ix[k] - fx, ctr + iy[k] - fy, ctr + iz[k] - fz] += sc[k]

@@ -124,13 +124,12 @@ class ZSplitEngine:
         m_core, _ = self.lay.split(m_ref)
         self.m_core = None if uniform else jnp.asarray(m_core)
         self.step_fn = stencil_pallas_z.make_step(grid, cfg.dt, m_val=self.m_val)
-        # fast in-place ring: needs uniform m and no source deposits in rims
+        # fast in-place ring: needs no source deposits in rims; the sweep
+        # engine additionally handles heterogeneous m (per-point w stream),
+        # while the packed v3/v4 fast paths still need the uniform scalar
         rim_sources = bool(np.any(self.zrim_term.scale != 0))
-        self.fast_capable = (
-            cfg.ring in ("auto", "fast")
-            and self.m_val is not None
-            and not rim_sources
-        )
+        self.rims_ok = cfg.ring in ("auto", "fast") and not rim_sources
+        self.fast_capable = self.rims_ok and self.m_val is not None
         # temporal fusion (K=2): needs the fast regime + correction cubes
         # fully inside the core interior
         self.t_fuse = 1
@@ -167,10 +166,15 @@ class ZSplitEngine:
         from .ops import stencil_sweep
 
         self.sweep_k = 0
+        self.sweep_w = None
         bf16 = cfg.storage_dtype == "bfloat16"
         want = cfg.t_fuse == 0 or cfg.t_fuse >= 3
         explicit = cfg.t_fuse >= 3
-        ok = want and self.fast_capable and stencil_sweep.supported(
+        variable = self.m_val is None
+        # heterogeneous m runs the sweep via the per-point w stream (the
+        # reference reads m[gid] per point, cuda_optimized.cu:251); the
+        # in-place rim contract (rims_ok) is medium-independent
+        ok = want and self.rims_ok and stencil_sweep.supported(
             grid, self._interpret
         )
         if ok and bf16 and not stencil_sweep.bf16_supported(grid):
@@ -178,9 +182,10 @@ class ZSplitEngine:
         if not ok:
             if explicit:
                 raise ValueError(
-                    "t_fuse>=3 (sweep kernel) requires uniform m, identical"
-                    " rims, ny % 8 == 0 (ny % 16 == 0 for bfloat16 storage),"
-                    " order <= 4 (radius <= 2), and nx >= 2*radius"
+                    "t_fuse>=3 (sweep kernel) requires identical rims, no"
+                    " rim source deposits, ny % 8 == 0 (ny % 16 == 0 for"
+                    " bfloat16 storage), order <= 4 (radius <= 2), and"
+                    " nx >= 2*radius"
                 )
             return
         # auto depth: K=4 wins at every measured size (512^3: 126.7% vs
@@ -188,7 +193,9 @@ class ZSplitEngine:
         # vs 52.1% — scripts/prof_sweep2.py, round 2); pick_k_fuse degrades
         # when the stage rings exceed the VMEM budget
         k_req = 4 if cfg.t_fuse == 0 else cfg.t_fuse
-        k = stencil_sweep.pick_k_fuse(grid, k_req, bf16=bf16)
+        k = stencil_sweep.pick_k_fuse(
+            grid, k_req, bf16=bf16, variable_m=variable
+        )
         if explicit and k != cfg.t_fuse:
             raise ValueError(
                 f"t_fuse={cfg.t_fuse} is not runnable on this grid (largest"
@@ -218,6 +225,7 @@ class ZSplitEngine:
             )
             ref_term = build_source_term(grid, self._coords, m_ref)
             s_core, s_zrim = split_source_term(ref_term, lay)
+            m_core_lay = lay.split(m_ref)[0] if variable else None
             if bool(np.any(s_zrim.scale != 0)):
                 if explicit:
                     raise ValueError(
@@ -227,7 +235,8 @@ class ZSplitEngine:
                     )
                 return  # z-rim deposits rule out every fused depth
             cubes = injection_cubes_upto(
-                grid, s_core, self.m_val, cfg.dt, kmax=k_try
+                grid, s_core, self.m_val, cfg.dt, kmax=k_try,
+                m_core=m_core_lay,
             )
             all_cubes = [c for j in cubes for c in cubes[j]]
             if not cubes_fit_core(
@@ -247,6 +256,22 @@ class ZSplitEngine:
                 j: [(sl, jnp.asarray(cb), p) for sl, cb, p in cubes[j]]
                 for j in cubes
             }
+            if variable:
+                # per-point update scale, f64-precomputed (more accurate
+                # than the reference's runtime f32 division): isotropic h
+                # absorbs 1/h^2 (leap_isotropic), anisotropic keeps the
+                # per-axis 1/h^2 inside the spatial sum (leap_exact)
+                md = m_core_lay.astype(np.float64)
+                dtf = float(cfg.dt)
+                if grid.hx == grid.hy == grid.hz:
+                    num = (dtf * dtf) / float(grid.hx) ** 2
+                else:
+                    num = dtf * dtf
+                # z_embed dead lanes hold m = 0; their updates are masked
+                # back to cur inside the kernel, so w = 0 there (not inf —
+                # keeps every vector op NaN/Inf-free)
+                wd = np.where(md > 0, num / np.where(md > 0, md, 1.0), 0.0)
+                self.sweep_w = jnp.asarray(wd.astype(np.float32))
             self._sweep = stencil_sweep
             return
 
@@ -536,6 +561,7 @@ class ZSplitEngine:
             return self._sweep.sweep_fused(
                 U, zrT, grid=g, dt=dtv, m_val=mv, k_fuse=kk, cur=cur,
                 interpret=self._interpret, pair=self.cfg.pair,
+                w=self.sweep_w,
             )
 
         def single(U, cur, src_row):
