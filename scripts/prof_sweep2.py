@@ -39,11 +39,14 @@ def main():
     # longer chains for small grids so the scan delta dwarfs dispatch jitter
     N2 = int(sys.argv[4]) if len(sys.argv) > 4 else max(10, (512 // n) ** 3 * 10)
     N1 = 2
+    pair = sys.argv[5] if len(sys.argv) > 5 else "auto"
+    storage = sys.argv[6] if len(sys.argv) > 6 else "float32"
+    bf16 = storage in ("bf16", "bfloat16")
 
     for K in ks:
         px = max(h, K * grid.radius)
         ze = sw.z_embedded(grid)
-        lay = ZSplitLayout(grid, py=8, xpad=px, z_embed=ze)
+        lay = ZSplitLayout(grid, py=16 if bf16 else 8, xpad=px, z_embed=ze)
         shape = grid.padded_shape
         uc = rng.standard_normal(shape).astype(np.float32)
         up = rng.standard_normal(shape).astype(np.float32)
@@ -54,13 +57,16 @@ def main():
         p_core, p_zrim = lay.split(up)
         c_core, _ = lay.split(uc)
         U0 = np.stack([p_core, c_core])
+        if bf16:
+            U0 = U0.astype(jnp.bfloat16)
         zrT = jnp.asarray(p_zrim if ze else sw.pad_zrim(p_zrim))
 
         def chain(U, z, n_calls):
             def body(u, _):
                 return (
                     sw.sweep_fused(
-                        u, z, grid=grid, dt=0.001, m_val=1.5, k_fuse=K
+                        u, z, grid=grid, dt=0.001, m_val=1.5, k_fuse=K,
+                        pair=pair,
                     ),
                     None,
                 )
@@ -94,7 +100,8 @@ def main():
         gcell = n**3 / per_step / 1e9
         model_gbps = 12 * n**3 / per_step / 1e9
         print(
-            f"K={K}: compile {t_c:.0f}s per_call={per_call*1e3:.2f}ms "
+            f"K={K} pair={pair} storage={storage}: "
+            f"compile {t_c:.0f}s per_call={per_call*1e3:.2f}ms "
             f"per_step={per_step*1e3:.2f}ms {gcell:.1f} Gcell/s "
             f"model12B={model_gbps:.0f} GB/s "
             f"({model_gbps/819*100:.1f}% of v5e peak)  deltas_ms="
