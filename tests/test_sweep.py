@@ -516,6 +516,69 @@ def test_sweep_variable_m_pair_bitwise():
         assert np.array_equal(outs["off"], outs["on"])
 
 
+def test_sweep_variable_m_k4_std_profile():
+    """Round-2 advisory regression: K=4 on the std per-plane ring profile
+    with a heterogeneous medium. The former w-ring sizing (+1 extra slack)
+    gave a 16-slot ring indexed at the static k = t % 8, so fetches only
+    ever wrote 8 of the 16 slots and stage reads hit never-written slots
+    (NaN in interpret mode, silent garbage on TPU). Must be bitwise equal
+    to the scalar path for a constant medium passed as a field."""
+    import jax.numpy as jnp
+
+    from tpufdtd.layout import ZSplitLayout
+    from tpufdtd.ops import stencil_sweep as sw
+
+    g = tf.Grid3D(16, 16, 128)  # zrT rim mode: K=4 allowed
+    K = 4
+    up, uc = _fast_ic(g, seed=21)
+    lay = ZSplitLayout(g, py=8, xpad=max(g.halo, K * g.radius),
+                       z_embed=sw.z_embedded(g))
+    p_core, p_zrim = lay.split(up)
+    c_core, _ = lay.split(uc)
+    m_core = np.full(lay.core_shape, 1.5, np.float32)
+    dt = 0.001
+    w = jnp.asarray(((dt * dt / (g.hx * g.hx))
+                     / m_core.astype(np.float64)).astype(np.float32))
+    U0 = jnp.asarray(np.stack([p_core, c_core]))
+    zr = jnp.asarray(sw.pad_zrim(p_zrim), jnp.float32)
+    a = np.asarray(sw.sweep_fused(U0, zr, grid=g, dt=dt, m_val=1.5, k_fuse=K,
+                                  interpret=True, ring_profile="std",
+                                  pair="off"))
+    assert not np.isnan(a).any()
+    b = np.asarray(sw.sweep_fused(U0, zr, grid=g, dt=dt, m_val=None, k_fuse=K,
+                                  interpret=True, ring_profile="std",
+                                  pair="off", w=w))
+    assert not np.isnan(b).any()
+    assert np.array_equal(a, b)
+
+
+def test_sweep_variable_m_w_ring_gate():
+    """When the w reuse distance cannot fit a ring dividing the unroll
+    factor (z_embed K>=5 on the std per-plane profile), sweep_fused raises
+    an actionable error and pick_k_fuse never proposes such a K."""
+    import jax.numpy as jnp
+    import pytest
+
+    from tpufdtd.layout import ZSplitLayout
+    from tpufdtd.ops import stencil_sweep as sw
+
+    g = tf.Grid3D(16, 16, 32)  # z_embed: max_k_fuse cap stays 6
+    K = 5
+    lay = ZSplitLayout(g, py=8, xpad=max(g.halo, K * g.radius), z_embed=True)
+    up, uc = _fast_ic(g, seed=23)
+    p_core, p_zrim = lay.split(up)
+    c_core, _ = lay.split(uc)
+    w = jnp.asarray(np.full(lay.core_shape, 1e-3, np.float32))
+    U0 = jnp.asarray(np.stack([p_core, c_core]))
+    zr = jnp.asarray(p_zrim, jnp.float32)
+    with pytest.raises(ValueError, match="w ring"):
+        sw.sweep_fused(U0, zr, grid=g, dt=0.001, m_val=None, k_fuse=K,
+                       interpret=True, ring_profile="std", pair="off", w=w)
+    # the scalar path at the same K is unaffected
+    sw.sweep_fused(U0, zr, grid=g, dt=0.001, m_val=1.5, k_fuse=K,
+                   interpret=True, ring_profile="std", pair="off")
+
+
 def test_sweep_variable_m_bf16():
     """bf16 storage composes with the heterogeneous medium (w stays an f32
     stream feeding the f32 VMEM compute)."""

@@ -220,6 +220,17 @@ def vmem_bytes(grid: Grid3D, K: int, px: int, py: int = 8,
     )
 
 
+def _w_ring_fits(grid: Grid3D, K: int, py: int, pb: int = 1) -> bool:
+    """True when the per-plane (pb=1) kernel's w ring divides its unroll
+    factor — required for static slot indexing (see _w_ring_n). The paired
+    profiles always satisfy this for K <= 6; the std per-plane profile
+    breaks at K >= 5 (only reachable on z_embed grids, where max_k_fuse
+    keeps the cap at 6)."""
+    rings = _ring_profile(grid, py, pb=pb)
+    zl, unroll = rings[6], rings[5]
+    return unroll % _w_ring_n(K, grid.radius, zl, unroll, pb=pb) == 0
+
+
 def pick_k_fuse(grid: Grid3D, want: int, bf16: bool = False,
                 variable_m: bool = False) -> int:
     """Largest K <= want whose scratch fits the VMEM budget (0 if none)."""
@@ -227,6 +238,8 @@ def pick_k_fuse(grid: Grid3D, want: int, bf16: bool = False,
     py = 16 if bf16 else 8
     for k in range(want, 0, -1):
         px = max(grid.halo, k * R)
+        if variable_m and not _w_ring_fits(grid, k, py):
+            continue
         if k <= max_k_fuse(grid, px, py) and vmem_bytes(
             grid, k, px, py, bf16, variable_m=variable_m
         ) <= VMEM_BUDGET:
@@ -493,10 +506,16 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True,
 def _w_ring_n(K: int, R: int, zl: int, unroll: int, pb: int = 1) -> int:
     """w-ring depth: plane j's scale is fetched zl ahead of its stage-1
     leap and last read by stage K, (K-1)*R planes ((K-1) chunks for pb=2)
-    later; +1 slack for slot-reuse safety. Power of two, so it divides (or
-    is divided by) the power-of-two UNROLL."""
+    later, so reuse distance = (K-1)*R + zl + 1 — the same one-iteration
+    reuse margin the zr ring relies on (see _sweep_kernel's ring-safety
+    comment). Rounded up to a power of two; slot indices are taken at the
+    STATIC k = t % unroll, so correctness additionally requires the result
+    to divide unroll — checked by the kernels' ring assertions and gated
+    in sweep_fused/pick_k_fuse (round-2 advisory: the former +1 extra
+    slack pushed K=4 std-profile variable-m to a 16-slot ring indexed
+    mod 8, leaving half the slots never written)."""
     d = (K - 1) * (1 if pb == 2 else R)
-    need = d + 1 + zl + 1
+    need = d + zl + 1
     return 1 << max(0, need - 1).bit_length()
 
 
@@ -550,7 +569,9 @@ def _sweep_kernel(
     CUR_RING, PREV_RING, OUT_RING, ZR_RING, FETCH_LEAD, UNROLL, ZL = rings
     R = grid.radius
     assert CUR_RING >= R + FETCH_LEAD + 3 and PREV_RING > FETCH_LEAD
-    assert K == 1 or ZR_RING >= R * (K - 1) + 1 + ZL
+    # the zr ring is only live in rim-ring mode; z_embed carries the rim
+    # in-core and never touches it
+    assert K == 1 or z_embed or ZR_RING >= R * (K - 1) + 1 + ZL
     for ring in (CUR_RING, PREV_RING, OUT_RING, ZR_RING, STAGE_RING):
         assert ring % UNROLL == 0 or UNROLL % ring == 0, (ring, UNROLL)
     nx, ny, nz = grid.nx, grid.ny, grid.nz
@@ -561,6 +582,10 @@ def _sweep_kernel(
         variable_m=variable_m, frozen_ylo=frozen_ylo, frozen_yhi=frozen_yhi,
     )
     W_N = _w_ring_n(K, R, ZL, UNROLL)
+    # w-ring slots are indexed at the static k = t % UNROLL, so the ring
+    # must divide the unroll factor or fetches only ever touch a subset of
+    # the slots (round-2 advisory bug)
+    assert not variable_m or UNROLL % W_N == 0, (W_N, UNROLL)
     n_iter = nx + 2 * R * (K - 1)
     j0 = -(K - 1) * R  # stage-1 plane index at iteration 0 (interior coords)
     cur_lvl = cur if K == 1 else 1
@@ -927,7 +952,7 @@ def _sweep_kernel_pair(
     R = grid.radius
     assert R == PB
     assert CUR_N >= 1 + LEAD + 3 and PREV_N > LEAD
-    assert K == 1 or ZR_N >= (K - 1) + 1 + ZL
+    assert K == 1 or z_embed or ZR_N >= (K - 1) + 1 + ZL
     for ring in (CUR_N, PREV_N, OUT_N, ZR_N, PAIR_STAGE_RING):
         assert ring % UNROLL == 0 or UNROLL % ring == 0, (ring, UNROLL)
     nx, ny, nz = grid.nx, grid.ny, grid.nz
@@ -941,6 +966,7 @@ def _sweep_kernel_pair(
         variable_m=variable_m, frozen_ylo=frozen_ylo, frozen_yhi=frozen_yhi,
     )
     W_N = _w_ring_n(K, R, ZL, UNROLL, pb=PB)
+    assert not variable_m or UNROLL % W_N == 0, (W_N, UNROLL)
     n_iter = nxc + 2 * (K - 1)
     j0 = -(K - 1)  # stage-1 chunk index at iteration 0 (interior chunks)
     cur_lvl = cur if K == 1 else 1
@@ -1382,6 +1408,16 @@ def sweep_fused(
 
     rings = _ring_profile(grid, py, ring_profile, pb=pb)
     cur_n, prev_n, out_n, zr_n = rings[:4]
+    if variable_m and rings[5] % _w_ring_n(
+        K, grid.radius, rings[6], rings[5], pb=pb
+    ) != 0:
+        raise ValueError(
+            f"k_fuse={K} with a heterogeneous medium needs a w ring that"
+            f" divides the unroll factor of the"
+            f" {'paired' if pb == 2 else 'per-plane'} ring profile; the w"
+            f" reuse distance does not fit one here — lower k_fuse (use"
+            f" pick_k_fuse(grid, want, variable_m=True))"
+        )
     kern = functools.partial(
         _sweep_kernel_pair if pb == 2 else _sweep_kernel,
         grid=grid, dt=dt, m_val=m_val, K=K, px=px, py=py,
