@@ -6,6 +6,10 @@ import pytest
 
 import jax
 
+# multi-device interpret/compile per test dominates; test_smoke.py keeps a
+# fast sharded path in `-m "not slow"`
+pytestmark = pytest.mark.slow
+
 import tpufdtd as tf
 from tpufdtd.parallel import (
     ShardedSimulator,

@@ -14,6 +14,10 @@ from tpufdtd.oracle import oracle_run
 from tpufdtd.stepper import Simulator
 from conftest import rel_l2
 
+# interpret-mode Pallas compiles dominate (~10 s/test); the unmarked smoke
+# test below keeps `-m "not slow"` covering this engine
+pytestmark = pytest.mark.slow
+
 
 def _fast_ic(grid, seed=0):
     """Random interior + one shared random rim across both levels (the fast

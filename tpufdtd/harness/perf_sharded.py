@@ -179,12 +179,17 @@ def run_sharded_benchmark(
                                       grid.order)
         gbps = metrics.gbps_model(gs, gs, gs, timesteps, dstats.mean,
                                   metrics.BYTES_OPTIMIZED)
-        # mesh-wide peaks scale linearly over ICI-connected chips
-        compute_eff = gflops / (peaks.fp32_gflops * n_devices) * 100.0
-        memory_eff = gbps / (peaks.hbm_gbps * n_devices) * 100.0
+        # mesh-wide peaks scale linearly over ICI-connected chips; on a
+        # virtual CPU mesh every efficiency-vs-peak and scaling number is
+        # contention noise, not a measurement — emit n/a (round-2 verdict)
+        if dryrun:
+            compute_eff = memory_eff = None
+        else:
+            compute_eff = gflops / (peaks.fp32_gflops * n_devices) * 100.0
+            memory_eff = gbps / (peaks.hbm_gbps * n_devices) * 100.0
 
         scal_eff = None
-        if baseline_single and n_devices > 1:
+        if baseline_single and n_devices > 1 and not dryrun:
             mesh1 = make_mesh(1)
             sim1 = ShardedSimulator(grid, cfg, m, mesh1, src_coords=coords)
             t1 = [
@@ -199,8 +204,12 @@ def run_sharded_benchmark(
             line = (
                 f"  device time {dstats.mean*1e3:.2f} ±"
                 f" {dstats.stddev*1e3:.2f} ms | {gcells:.2f} Gcell/s"
-                f" ({per_dev:.2f}/dev) | mem eff {memory_eff:.1f}%"
+                f" ({per_dev:.2f}/dev)"
             )
+            if memory_eff is not None:
+                line += f" | mem eff {memory_eff:.1f}%"
+            else:
+                line += " | eff n/a (dryrun)"
             if scal_eff is not None:
                 line += f" | strong scaling {scal_eff:.1f}%"
             print(line)
