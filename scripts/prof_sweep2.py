@@ -42,6 +42,7 @@ def main():
     pair = sys.argv[5] if len(sys.argv) > 5 else "auto"
     storage = sys.argv[6] if len(sys.argv) > 6 else "float32"
     bf16 = storage in ("bf16", "bfloat16")
+    flat = sys.argv[7] if len(sys.argv) > 7 else "auto"
 
     for K in ks:
         px = max(h, K * grid.radius)
@@ -66,7 +67,7 @@ def main():
                 return (
                     sw.sweep_fused(
                         u, z, grid=grid, dt=0.001, m_val=1.5, k_fuse=K,
-                        pair=pair,
+                        pair=pair, flat=flat,
                     ),
                     None,
                 )
@@ -100,7 +101,7 @@ def main():
         gcell = n**3 / per_step / 1e9
         model_gbps = 12 * n**3 / per_step / 1e9
         print(
-            f"K={K} pair={pair} storage={storage}: "
+            f"K={K} pair={pair} flat={flat} storage={storage}: "
             f"compile {t_c:.0f}s per_call={per_call*1e3:.2f}ms "
             f"per_step={per_step*1e3:.2f}ms {gcell:.1f} Gcell/s "
             f"model12B={model_gbps:.0f} GB/s "

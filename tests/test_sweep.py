@@ -399,6 +399,70 @@ def test_sweep_pair_bitwise_bf16():
     assert np.array_equal(outs["off"], outs["on"])
 
 
+def test_sweep_flat_bitwise():
+    """The flat (2-D chunked) paired kernel computes each 2-plane chunk as
+    one (2*nyp, nz) array over all rows with a row mask replacing the
+    interior slices and rim-copy stores; per-element op order is unchanged,
+    so output must match the per-plane kernel BITWISE — every K, both rim
+    modes, frozen x AND y margins, and the heterogeneous-m w stream."""
+    import jax.numpy as jnp
+
+    from tpufdtd.layout import ZSplitLayout
+    from tpufdtd.ops import stencil_sweep as sw
+
+    for nz, K, frozen, fy, varm in (
+        (128, 1, (0, 0), (0, 0), False),
+        (128, 2, (2, 4), (0, 0), False),
+        (128, 4, (0, 0), (2, 3), False),
+        (32, 3, (0, 0), (0, 0), False),
+        (128, 2, (0, 0), (0, 0), True),
+    ):
+        g = tf.Grid3D(16, 16, nz, hx=1.0, hy=1.0, hz=1.0)
+        up, uc = _fast_ic(g, seed=13)
+        lay = ZSplitLayout(g, py=8, xpad=max(g.halo, max(K, 2) * g.radius),
+                           z_embed=sw.z_embedded(g))
+        p_core, p_zrim = lay.split(up)
+        c_core, _ = lay.split(uc)
+        U0 = jnp.asarray(np.stack([p_core, c_core]))
+        zr = jnp.asarray(
+            p_zrim if sw.z_embedded(g) else sw.pad_zrim(p_zrim), jnp.float32
+        )
+        w = None
+        if varm:
+            rngw = np.random.default_rng(17)
+            w = jnp.asarray(
+                (0.001 ** 2 / (1.5 + 0.1 * rngw.random(U0.shape[1:])))
+                .astype(np.float32)
+            )
+        outs = {}
+        for flat in ("off", "on"):
+            outs[flat] = np.asarray(
+                sw.sweep_fused(U0, zr, grid=g, dt=0.001, m_val=1.5,
+                               k_fuse=K, interpret=True, pair="on",
+                               flat=flat, frozen_lo=frozen[0],
+                               frozen_hi=frozen[1], frozen_ylo=fy[0],
+                               frozen_yhi=fy[1], w=w)
+            )
+        base = np.asarray(
+            sw.sweep_fused(U0, zr, grid=g, dt=0.001, m_val=1.5,
+                           k_fuse=K, interpret=True, pair="off",
+                           frozen_lo=frozen[0], frozen_hi=frozen[1],
+                           frozen_ylo=fy[0], frozen_yhi=fy[1], w=w)
+        )
+        assert np.array_equal(outs["on"], base), (nz, K, frozen, fy, varm)
+        assert np.array_equal(outs["off"], base), (nz, K, frozen, fy, varm)
+
+
+def test_sweep_order6():
+    """Order-6 (radius-3) runs the sweep engine — 2R+1-plane x window and
+    the PROFILE_R3 ring geometry — and matches the f64 oracle in both rim
+    modes (ref: main.cpp:26-29 builds orders 2..12; the reference's own
+    optimized kernel is order-4-only, cuda_optimized.cu:39)."""
+    for nz in (32, 128):
+        g = tf.Grid3D(12, 16, nz, hx=1.0, hy=1.0, hz=1.0, order=6)
+        _run_sweep_vs_oracle(g, 7)
+
+
 # ---- heterogeneous medium (per-point w stream) ------------------------------
 
 

@@ -42,13 +42,19 @@ fully-overlapped DMA per fused call and frees the ~10 MB rim block.) The
 8-slot ring covers fetch lead 1 plus the stage-K read trail R*(K-1), which
 bounds zrT-mode fusion at R*(K-1) <= ZR_RING - 2 (K <= 4 for order 4).
 
-Uniform-medium fast path only (m is a compile-time scalar) — the regime of
-the reference benchmark (m = 1.5 everywhere, main.cpp:352); non-uniform m
-falls back to the v3/v4 engines.
+Media: uniform m is a compile-time scalar folded into the leap (the regime
+of the reference benchmark, m = 1.5 everywhere, main.cpp:352);
+heterogeneous m runs as a per-plane w = dt^2/(h^2 m) DMA stream applied in
+the same vector op (see sweep_fused's `w`).
 
-Constraints: px = halo = 4 supports K <= 3 (stage-1 frontier reaches
-px - K*R + R >= 0); py = 8 supports K <= 4. ny % 8 == 0 (sublane-aligned
-interior rows). Any nz (nz % 128 == 0 for full DMA efficiency).
+Stencil orders: 4 (radius 2, the flagship, with the paired/flat chunked
+modes) and 6 (radius 3: a 2R+1-plane x window on the PROFILE_R3 ring
+geometry, per-plane kernel only — the reference's optimized kernel is
+order-4-only, cuda_optimized.cu:39). Orders 8-12 use the packed engines.
+
+Constraints: px >= K*R (stage-1 fetch frontier); py = 8 supports any K
+(stages compute interior rows only). ny % 8 == 0 (sublane-aligned interior
+rows). Any nz (nz % 128 == 0 for full DMA efficiency).
 
 bf16 storage mode (the TPU analogue of the reference's FP16 storage path,
 cuda_optimized.cu:261-343, done without shadow copies): U lives in HBM as
@@ -93,6 +99,9 @@ FETCH_LEAD = 3
 PROFILE_STD = (CUR_RING, PREV_RING, OUT_RING, ZR_RING, FETCH_LEAD, 8, 1)
 PROFILE_DEEP = (16, 16, 8, 16, 8, 16, 3)
 DEEP_PLANE_BYTES = 384 * 1024  # deep profile for f32 planes up to ~256^3
+# radius-3 (order-6) geometry: the wider x window needs cur >= R + lead + 3
+# and a zr ring covering the deeper stage trail R*(K-1) (K <= 4 here)
+PROFILE_R3 = (16, 8, 8, 16, 4, 16, 1)
 
 # Paired-plane (pb=2) ring geometry, in CHUNK (2-plane) units. The stage
 # ring only needs 3 live chunks (+1 skew); DMA distances halve in chunk
@@ -104,6 +113,9 @@ PAIR_PROFILE_DEEP = (8, 8, 4, 8, 4, 8, 2)
 
 def _ring_profile(grid: Grid3D, py: int = 8, name: str = "auto",
                   pb: int = 1):
+    if grid.radius == 3:
+        # single radius-3 geometry (pairing is radius-2 only, so pb == 1)
+        return PROFILE_R3
     deep_name, std_name = (
         (PAIR_PROFILE_DEEP, PAIR_PROFILE_STD) if pb == 2
         else (PROFILE_DEEP, PROFILE_STD)
@@ -135,7 +147,12 @@ def max_k_fuse(grid: Grid3D, px: int = 8, py: int = 8) -> int:
     read R*(K-1) + 1 iterations earlier, so R*(K-1) <= ZR_RING - 2
     (K <= 4 for radius 2; z_embed grids carry the rim in-core and keep 6)."""
     R = grid.radius
-    cap = 6 if z_embedded(grid) else min(6, (ZR_RING - 2) // R + 1)
+    if R == 3:
+        # R3 profile: zr 16 >= 3(K-1) + 1 + 1 -> K <= 4 (both rim modes
+        # share the one radius-3 ring geometry)
+        cap = 4
+    else:
+        cap = 6 if z_embedded(grid) else min(6, (ZR_RING - 2) // R + 1)
     return max(1, min(px // R, cap)) if py >= 8 else 1
 
 
@@ -145,9 +162,14 @@ def supported(grid: Grid3D, interpret: bool = False) -> bool:
     slices of non-tile-multiple lane extents, so the layout pads the core
     lanes — physically free, the (8,128) HBM tiling pads them anyway)."""
     del interpret
-    # radius <= 2 (order <= 4): the leap's x-neighbor window and the ring
-    # geometry are built for 5 planes; higher orders use the packed engines
-    return grid.ny % 8 == 0 and grid.radius <= 2 and grid.nx >= 2 * grid.radius
+    # radius <= 3 (order <= 6): the leap's x-neighbor window is 2R+1 planes
+    # and radius 3 has its own ring geometry (PROFILE_R3); orders 8-12 use
+    # the packed engines (the reference's optimized kernel is likewise
+    # order-4-only, cuda_optimized.cu:39)
+    return (
+        grid.ny % 8 == 0 and grid.radius <= 3
+        and grid.nx >= 2 * grid.radius
+    )
 
 
 def z_embedded(grid: Grid3D) -> bool:
@@ -249,7 +271,8 @@ def pick_k_fuse(grid: Grid3D, want: int, bf16: bool = False,
 
 def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True,
                z_embed: bool = False, pb: int = 1, variable_m: bool = False,
-               frozen_ylo: int = 0, frozen_yhi: int = 0):
+               frozen_ylo: int = 0, frozen_yhi: int = 0,
+               flat: bool = False, py: int = 8):
     """leap(planes, prev, zrp, y0, ylen, w=None) -> (ylen, width) update.
 
     frozen_ylo/frozen_yhi: freeze the first/last interior ROWS of every
@@ -349,14 +372,16 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True,
         """u_next in the reference's exact algebraic form
         (openacc.cpp:102-107), term-for-term. variable_m applies the
         per-point w = dt^2/m to the combined spatial sum instead (same
-        value up to fp association; gated by the oracle tolerance)."""
-        cm2, cm1, cy, cp1, cp2 = planes
+        value up to fp association; gated by the oracle tolerance).
+
+        planes is the (2R+1)-plane x window, center at index R."""
+        cy = planes[R]
         y1 = y0 + ylen
         c = cy[y0:y1, :]
         zr = get_zr(zrp, y0, y1)
         r5 = W[0] * c
         tx, ty, tz = r5, r5, r5
-        xs = {1: (cm1, cp1), 2: (cm2, cp2)}
+        xs = {d: (planes[R - d], planes[R + d]) for d in range(1, R + 1)}
         for d in range(R, 0, -1):
             xm, xp = xs[d]
             tx = tx + W[d] * (xm[y0:y1, :] + xp[y0:y1, :])
@@ -382,12 +407,12 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True,
         Differs from leap_exact only in fp association order (gated by the
         rel-L2 tolerance vs the f64 oracle, DEVIATIONS.md item 1).
         variable_m swaps the scalar scale for the w plane — same op count."""
-        cm2, cm1, cy, cp1, cp2 = planes
+        cy = planes[R]
         y1 = y0 + ylen
         c = cy[y0:y1, :]
         zr = get_zr(zrp, y0, y1)
         acc = (np.float32(3.0) * W[0]) * c
-        xs = {1: (cm1, cp1), 2: (cm2, cp2)}
+        xs = {d: (planes[R - d], planes[R + d]) for d in range(1, R + 1)}
         for d in range(R, 0, -1):
             xm, xp = xs[d]
             nb = xm[y0:y1, :] + xp[y0:y1, :]
@@ -406,6 +431,115 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True,
 
     if pb == 1:
         return leap_isotropic if uniform_h else leap_exact
+
+    if flat:
+        # ---- flat chunked forms: the whole (pb, nyp, width) chunk is
+        # computed as ONE 2-D (pb*nyp, width) array over ALL rows (pad rows
+        # included), and a single row mask freezes the y-rim band back to
+        # the cur values — replacing the interior-row slices and the two
+        # per-stage rim-copy stores of the 3-D chunked forms. 2-D vector ops
+        # lower with less per-op overhead than 3-D ones on Mosaic (the 3-D
+        # overhead is what made pb=2 LOSE at 128-lane planes — sweep_fused's
+        # pair gate note), and full-row compute costs only 2*py/nyp extra
+        # arithmetic. y shifts are rolls of the flat row axis: interior rows
+        # read at distance d <= R < py never cross a plane boundary, and
+        # rows that do wrap land in the masked rim band. Per-element op
+        # order matches the pb=1 forms, so interior outputs are bitwise
+        # equal (pinned by tests/test_sweep.py::test_sweep_flat_bitwise).
+        ny_i = grid.ny
+
+        def _fl(x):
+            return x.reshape(-1, x.shape[-1])
+
+        if use_roll:
+            def yshift_f(c2, d: int):
+                n = c2.shape[0]
+                return pltpu.roll(c2, d if d > 0 else n + d, 0)
+        else:
+            def yshift_f(c2, d: int):
+                return jnp.roll(c2, d, axis=0)
+
+        def z_neighbors_f(c, zr, d: int):
+            rows = c.shape[0]
+            if z_embed:
+                zeros = jnp.zeros((rows, d), c.dtype)
+                zp = jnp.concatenate([c[:, d:], zeros], axis=1)
+                zm = jnp.concatenate([zeros, c[:, : c.shape[1] - d]], axis=1)
+                return zp, zm
+            zp = jnp.concatenate([c[:, d:], zr[:, h : h + d]], axis=1)
+            zm = jnp.concatenate([zr[:, h - d : h], c[:, : nz - d]], axis=1)
+            return zp, zm
+
+        def finish_f(upd, c):
+            rows, width = c.shape
+            nyp_l = rows // pb
+            row = jax.lax.broadcasted_iota(
+                jnp.int32, (pb, nyp_l, width), 1
+            ).reshape(rows, width)
+            ok = jnp.logical_and(
+                row >= py + frozen_ylo, row < py + ny_i - frozen_yhi
+            )
+            upd = jnp.where(ok, upd, c)
+            if not z_embed:
+                return upd
+            lane = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
+            interior = jnp.logical_and(lane >= h, lane < h + nz)
+            return jnp.where(interior, upd, c)
+
+        def leap_flat_exact(planes, prev, zrp, y0: int, ylen: int, w=None):
+            # y0/ylen ignored: flat mode always computes all rows
+            cm2, cm1, cy, cp1, cp2 = (_fl(p) for p in planes)
+            c = cy
+            zr = None if z_embed else _fl(zrp)
+            pv = _fl(prev)
+            r5 = W[0] * c
+            tx, ty, tz = r5, r5, r5
+            xs = {1: (cm1, cp1), 2: (cm2, cp2)}
+            for d in range(R, 0, -1):
+                xm, xp = xs[d]
+                tx = tx + W[d] * (xm + xp)
+                ty = ty + W[d] * (yshift_f(cy, d) + yshift_f(cy, -d))
+                zp, zm = z_neighbors_f(c, zr, d)
+                tz = tz + W[d] * (zp + zm)
+            if variable_m:
+                upd = _fl(w) * (r2 * tx + r3 * ty + r4 * tz) + (
+                    np.float32(2.0) * c - pv
+                )
+            else:
+                upd = (
+                    dt32
+                    * dt32
+                    * (r2 * tx + r3 * ty + r4 * tz
+                       - (np.float32(-2.0) * r1 * c + r1 * pv) * m)
+                    / m
+                )
+            return finish_f(upd, c).reshape(planes[2].shape)
+
+        def leap_flat_isotropic(planes, prev, zrp, y0: int, ylen: int,
+                                w=None):
+            cm2, cm1, cy, cp1, cp2 = (_fl(p) for p in planes)
+            c = cy
+            zr = None if z_embed else _fl(zrp)
+            pv = _fl(prev)
+            acc = (np.float32(3.0) * W[0]) * c
+            xs = {1: (cm1, cp1), 2: (cm2, cp2)}
+            for d in range(R, 0, -1):
+                xm, xp = xs[d]
+                nb = xm + xp
+                nb = nb + yshift_f(cy, d)
+                nb = nb + yshift_f(cy, -d)
+                zp, zm = z_neighbors_f(c, zr, d)
+                nb = nb + zp
+                nb = nb + zm
+                acc = acc + W[d] * nb
+            if variable_m:
+                upd = _fl(w) * acc + (np.float32(2.0) * c - pv)
+            else:
+                scale = dt32 * dt32 * r2 / m  # r2 == r3 == r4
+                upd = scale * acc + (np.float32(2.0) * c - pv)
+            return finish_f(upd, c).reshape(planes[2].shape)
+
+        return leap_flat_isotropic if uniform_h else leap_flat_exact
 
     # ---- pb == 2: chunked (paired-plane) forms -----------------------------
     # Same algebra on (pb, ., .) arrays; y shifts on axis 1, z on axis 2.
@@ -743,8 +877,8 @@ def _sweep_kernel(
 
         X1 = px + j
         s1_slot = (px + j0 + k) % STAGE_RING
-        planes1 = (cur_at(-2), cur_at(-1), cur_at(0), cur_at(1), cur_at(2))
-        cy1 = planes1[2]
+        planes1 = tuple(cur_at(d) for d in range(-R, R + 1))
+        cy1 = planes1[R]
 
         if K == 1:
             o_slot = k % OUT_RING
@@ -791,9 +925,9 @@ def _sweep_kernel(
                 continue
             planes = tuple(
                 stage_ring[st - 2, (ks + d) % STAGE_RING]
-                for d in (-2, -1, 0, 1, 2)
+                for d in range(-R, R + 1)
             )
-            cyS = planes[2]
+            cyS = planes[R]
             if st < K:
                 if cond(None, "in", st):
                     if st == 2:
@@ -930,11 +1064,17 @@ def _sweep_kernel_pair(
     bf16: bool = False,
     variable_m: bool = False,
     rings=PAIR_PROFILE_STD,
+    flat: bool = False,
 ):
     """Paired-plane (pb=2) variant of _sweep_kernel: every ring slot, DMA
     and vector op covers a CHUNK of 2 consecutive x-planes, halving the op
     and DMA-issue counts at constant total work (the fixed per-op lowering
     overhead dominates small planes — RESULTS.md VPU analysis).
+
+    flat=True computes each chunk as one 2-D (2*nyp, nz) array over ALL
+    rows with a single row mask (see _make_leap's flat forms): stage planes
+    are stored full-row in one op (no rim-copy stores), the out ring holds
+    full rows and the out DMA slices the interior rows at the source.
 
     Index bookkeeping is the plane kernel's, re-expressed in chunk units;
     with radius R == 2 == pb every stage trails an integer number of chunks
@@ -964,6 +1104,7 @@ def _sweep_kernel_pair(
     leap = _make_leap(
         grid, dt, m_val, use_roll=use_roll, z_embed=z_embed, pb=PB,
         variable_m=variable_m, frozen_ylo=frozen_ylo, frozen_yhi=frozen_yhi,
+        flat=flat, py=py,
     )
     W_N = _w_ring_n(K, R, ZL, UNROLL, pb=PB)
     assert not variable_m or UNROLL % W_N == 0, (W_N, UNROLL)
@@ -1024,8 +1165,14 @@ def _sweep_kernel_pair(
 
     def write_out(lvl: int, slot: int, Xp):
         dst = prev_lvl if K == 1 else lvl
+        # flat mode: the out ring holds full nyp rows; slice the interior
+        # band at the DMA source (sublane offset py is tile-aligned)
+        src = (
+            out_ring.at[lvl, slot, :, pl.ds(py, ny)] if flat
+            else out_ring.at[lvl, slot]
+        )
         return pltpu.make_async_copy(
-            out_ring.at[lvl, slot],
+            src,
             out_hbm.at[dst, pl.ds(Xp, PB), pl.ds(py, ny), :],
             sem_out.at[lvl, slot],
         )
@@ -1106,13 +1253,13 @@ def _sweep_kernel_pair(
             o_slot = k % OUT_N
             if cond(None, "in1"):
                 pv = prev_ring[(pxc + j0 + k) % PREV_N]
-                pv_rows = pv[:, py : py + ny, :]
+                pv_rows = pv if flat else pv[:, py : py + ny, :]
                 if bf16:
                     pv_rows = pv_rows.astype(jnp.float32)
                 zr1 = None if z_embed else zr_at(0, k)
                 upd = leap(planes1, pv_rows, zr1, py, ny, w_at(0, k))
             else:
-                upd = cy1[:, py : py + ny, :]
+                upd = cy1 if flat else cy1[:, py : py + ny, :]
             if cond(None, "out_wait1"):
                 write_out(0, o_slot, X1).wait()
             out_ring[0, o_slot] = ocast(upd)
@@ -1121,14 +1268,18 @@ def _sweep_kernel_pair(
 
         if cond(None, "in1"):
             pv = prev_ring[(pxc + j0 + k) % PREV_N]
-            pv_rows = pv[:, py : py + ny, :]
+            pv_rows = pv if flat else pv[:, py : py + ny, :]
             if bf16:
                 pv_rows = pv_rows.astype(jnp.float32)
             zr1 = None if z_embed else zr_at(0, k)
             upd1 = leap(planes1, pv_rows, zr1, py, ny, w_at(0, k))
-            stage_ring[0, s1_slot, :, py : py + ny] = upd1
-            stage_ring[0, s1_slot, :, 0:py] = cy1[:, 0:py, :]
-            stage_ring[0, s1_slot, :, py + ny :] = cy1[:, py + ny :, :]
+            if flat:
+                # the leap's row mask already froze the rim band to cy1
+                stage_ring[0, s1_slot] = upd1
+            else:
+                stage_ring[0, s1_slot, :, py : py + ny] = upd1
+                stage_ring[0, s1_slot, :, 0:py] = cy1[:, 0:py, :]
+                stage_ring[0, s1_slot, :, py + ny :] = cy1[:, py + ny :, :]
         elif cond(None, "pad1"):
             stage_ring[0, s1_slot] = cy1[...]
 
@@ -1151,11 +1302,16 @@ def _sweep_kernel_pair(
                     else:
                         pvs = stage_ring[st - 3, ks]
                     zrs = None if z_embed else zr_at(st - 1, k)
-                    upd = leap(planes, pvs[:, py : py + ny, :], zrs, py, ny,
-                               w_at(st - 1, k))
-                    stage_ring[st - 1, ks, :, py : py + ny] = upd
-                    stage_ring[st - 1, ks, :, 0:py] = cyS[:, 0:py, :]
-                    stage_ring[st - 1, ks, :, py + ny :] = cyS[:, py + ny :, :]
+                    pvr = pvs if flat else pvs[:, py : py + ny, :]
+                    upd = leap(planes, pvr, zrs, py, ny, w_at(st - 1, k))
+                    if flat:
+                        stage_ring[st - 1, ks] = upd
+                    else:
+                        stage_ring[st - 1, ks, :, py : py + ny] = upd
+                        stage_ring[st - 1, ks, :, 0:py] = cyS[:, 0:py, :]
+                        stage_ring[st - 1, ks, :, py + ny :] = (
+                            cyS[:, py + ny :, :]
+                        )
                 else:
                     stage_ring[st - 1, ks] = cyS[...]
             else:
@@ -1169,13 +1325,14 @@ def _sweep_kernel_pair(
                     else:
                         pvs = stage_ring[st - 3, ks]
                     zrs = None if z_embed else zr_at(st - 1, k)
-                    upd = leap(planes, pvs[:, py : py + ny, :], zrs, py, ny,
-                               w_at(st - 1, k))
+                    pvr = pvs if flat else pvs[:, py : py + ny, :]
+                    upd = leap(planes, pvr, zrs, py, ny, w_at(st - 1, k))
                 else:
-                    upd = cyS[:, py : py + ny, :]
+                    upd = cyS if flat else cyS[:, py : py + ny, :]
                 out_ring[1, o_slot] = ocast(upd)
                 out_ring[0, o_slot] = ocast(
-                    stage_ring[st - 2, ks][:, py : py + ny, :]
+                    stage_ring[st - 2, ks]
+                    if flat else stage_ring[st - 2, ks][:, py : py + ny, :]
                 )
                 write_out(0, o_slot, Xs).start()
                 write_out(1, o_slot, Xs).start()
@@ -1246,7 +1403,7 @@ def _sweep_kernel_pair(
     static_argnames=(
         "grid", "dt", "m_val", "k_fuse", "cur", "interpret", "vmem_limit",
         "frozen_lo", "frozen_hi", "frozen_ylo", "frozen_yhi",
-        "ring_profile", "pair",
+        "ring_profile", "pair", "flat",
     ),
 )
 def sweep_fused(
@@ -1266,6 +1423,7 @@ def sweep_fused(
     frozen_yhi: int = 0,
     ring_profile: str = "auto",
     pair: str = "auto",
+    flat: str = "auto",
     w: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """K fused in-place leapfrog steps on packed U[2] = [u_{n-1}, u_n]
@@ -1380,6 +1538,8 @@ def sweep_fused(
 
     if pair not in ("auto", "on", "off"):
         raise ValueError(f"pair must be 'auto', 'on' or 'off'; got {pair!r}")
+    if flat not in ("auto", "on", "off"):
+        raise ValueError(f"flat must be 'auto', 'on' or 'off'; got {flat!r}")
     pair_ok = (
         grid.radius == 2
         and grid.nx % 2 == 0
@@ -1394,17 +1554,28 @@ def sweep_fused(
             f" frozen={frozen_lo}/{frozen_hi}"
         )
     pb = 2 if pair != "off" and pair_ok else 1
+    use_flat = flat == "on" or (flat == "auto" and pb == 2)
     if pair == "auto" and pb == 2 and (
-        core_nz(grid) < 256
+        (core_nz(grid) < 256 and not use_flat)
         or vmem_bytes(grid, K, px, py, bf16, pb=2, variable_m=variable_m)
         > VMEM_BUDGET
     ):
-        # measured (v5e, 50 steps, K=4): pairing wins only at plane widths
-        # >= 256 lanes (192^3 z-embed: +9.6%, 256^3: +2.9%) and loses at
-        # 128-lane widths (128^3: -8%, 64^3: -19%) — at one vreg-row of
-        # lanes the halved op count doesn't cover the 3-D op overhead; and
-        # chunk-sized rings/temporaries would blow VMEM on big planes
+        # measured (v5e, 50 steps, K=4): 3-D chunked pairing wins only at
+        # plane widths >= 256 lanes (192^3 z-embed: +9.6%, 256^3: +2.9%)
+        # and loses at 128-lane widths (128^3: -8%, 64^3: -19%) — at one
+        # vreg-row of lanes the halved op count doesn't cover the 3-D op
+        # overhead. The flat (2-D) chunked leap removes that overhead, so
+        # flat pairing stays on at narrow planes; chunk-sized rings and
+        # temporaries can still blow VMEM on big planes either way.
         pb = 1
+        use_flat = flat == "on"
+    if use_flat and pb != 2:
+        if flat == "on":
+            raise ValueError(
+                "flat='on' requires the paired kernel (pair eligible);"
+                " flat chunking is a mode of the pb=2 kernel"
+            )
+        use_flat = False
 
     rings = _ring_profile(grid, py, ring_profile, pb=pb)
     cur_n, prev_n, out_n, zr_n = rings[:4]
@@ -1425,6 +1596,7 @@ def sweep_fused(
         frozen_lo=frozen_lo, frozen_hi=frozen_hi,
         frozen_ylo=frozen_ylo, frozen_yhi=frozen_yhi, bf16=bf16,
         variable_m=variable_m, rings=rings,
+        **({"flat": use_flat} if pb == 2 else {}),
     )
     sdt = U.dtype
     wn = _w_ring_n(K, grid.radius, rings[6], rings[5], pb=pb)
@@ -1444,7 +1616,9 @@ def sweep_fused(
             ),
             pltpu.VMEM((prev_n, 2, nyp, nz), sdt),
             pltpu.VMEM(stage_shape, jnp.float32),
-            pltpu.VMEM((2, out_n, 2, ny, nz), sdt),
+            # flat mode stores full rows in the out ring (the DMA slices the
+            # interior band at the source)
+            pltpu.VMEM((2, out_n, 2, nyp if use_flat else ny, nz), sdt),
             pltpu.VMEM(
                 (1, 1, 8, 128) if z_embed else (zr_n, 2, nyp, ZR_LANES),
                 jnp.float32,
@@ -1506,3 +1680,162 @@ def sweep_fused(
         ),
         interpret=interpret,
     )(U, zrim, w_arg)
+
+
+# ---- y-banded sweep: grids whose plane rings exceed VMEM ---------------------
+
+
+def _band_mult(bf16: bool) -> int:
+    return 16 if bf16 else 8
+
+
+def band_splits(ny: int, bands: int, mult: int) -> list:
+    """Split ny interior rows into `bands` contiguous chunks, each a
+    positive multiple of `mult` (sublane/bf16-tile alignment)."""
+    if ny % mult != 0:
+        raise ValueError(f"banded sweep needs ny % {mult} == 0; got {ny}")
+    units = ny // mult
+    if units < bands:
+        raise ValueError(f"ny={ny} too small for {bands} bands of {mult}")
+    base, rem = divmod(units, bands)
+    return [(base + (1 if b < rem else 0)) * mult for b in range(bands)]
+
+
+def band_redundancy(K: int, R: int, mult: int) -> int:
+    """Redundancy rows per inner band side, rounded up to the row tile: a
+    band's values within R*s rows of its extended edge are garbage after
+    stage s (they read the pad rows as if frozen), so M >= (K-1)*R rows
+    must be discarded — same margin calculus as the sharded sweep
+    (parallel/sharded_sweep.py), applied sequentially on one chip."""
+    return -(-((K - 1) * R) // mult) * mult
+
+
+def pick_k_bands(grid: Grid3D, want: int, bf16: bool = False,
+                 variable_m: bool = False):
+    """(K, bands) for the largest fusion depth that fits VMEM: bands = 1
+    (the plain sweep) preferred, then 2/4/8 y bands whose smaller planes
+    shrink every ring. Returns (0, 1) when nothing fits (caller falls back
+    to the packed engines). The reference covers any grid under device
+    memory with one kernel (main.cpp:337-341); banding is what keeps the
+    flagship sweep available at >= 896^3 where full-plane rings overflow."""
+    R = grid.radius
+    py = 16 if bf16 else 8
+    mult = _band_mult(bf16)
+    for bands in (1, 2, 4, 8):
+        if bands > 1 and (grid.ny % mult != 0 or grid.ny // mult < bands):
+            continue
+        for k in range(want, 1, -1):
+            px = max(grid.halo, k * R)
+            if bands == 1:
+                ny_b = grid.ny
+            else:
+                M = band_redundancy(k, R, mult)
+                sizes = band_splits(grid.ny, bands, mult)
+                if min(sizes) < M:  # margins must fit inside a neighbor band
+                    continue
+                ny_b = max(sizes) + 2 * M
+            import dataclasses as _dc
+
+            g_b = _dc.replace(grid, ny=ny_b)
+            if variable_m and not _w_ring_fits(g_b, k, py):
+                continue
+            if k <= max_k_fuse(g_b, px, py) and vmem_bytes(
+                g_b, k, px, py, bf16, variable_m=variable_m
+            ) <= VMEM_BUDGET:
+                return k, bands
+    return pick_k_fuse(grid, want, bf16=bf16, variable_m=variable_m), 1
+
+
+def sweep_fused_banded(
+    U: jnp.ndarray,
+    zrim: jnp.ndarray,
+    *,
+    grid: Grid3D,
+    dt: float,
+    m_val: float,
+    k_fuse: int = 2,
+    bands: int = 1,
+    cur: int = 1,
+    interpret: bool = False,
+    vmem_limit: int = 130 * 1024 * 1024,
+    frozen_lo: int = 0,
+    frozen_hi: int = 0,
+    ring_profile: str = "auto",
+    pair: str = "auto",
+    flat: str = "auto",
+    w: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """sweep_fused over `bands` sequential y bands: each band runs the
+    ordinary kernel on its rows extended by band_redundancy(K) redundant
+    rows per inner side (discarded on write-back), so VMEM holds band-sized
+    plane rings instead of full planes — the flagship path for grids whose
+    full planes overflow the ring budget (>= 896^3 f32).
+
+    Bands run low-to-high y inside one trace; each band's sub-band pad and
+    margin rows are snapshotted BEFORE the block (strips), so every band
+    reads pre-block neighbor values exactly as the unbanded sweep would —
+    output is bitwise-equal to bands=1 (test_sweep.py::test_sweep_banded).
+    Extra HBM traffic: one band-input gather + write-back per block,
+    ~2/K extra passes per step. Same contract as sweep_fused (frozen x
+    margins, w stream, bf16, K==1 level-role flip)."""
+    if bands <= 1:
+        return sweep_fused(
+            U, zrim, grid=grid, dt=dt, m_val=m_val, k_fuse=k_fuse, cur=cur,
+            interpret=interpret, vmem_limit=vmem_limit, frozen_lo=frozen_lo,
+            frozen_hi=frozen_hi, ring_profile=ring_profile, pair=pair,
+            flat=flat, w=w,
+        )
+    import dataclasses as _dc
+
+    K = k_fuse
+    R = grid.radius
+    bf16 = U.dtype == jnp.bfloat16
+    nyp = U.shape[2]
+    py = (nyp - grid.ny) // 2
+    mult = _band_mult(bf16)
+    z_embed = U.shape[3] != grid.nz
+    M = band_redundancy(K, R, mult)
+    sizes = band_splits(grid.ny, bands, mult)
+    if min(sizes) < M:
+        raise ValueError(
+            f"band margins ({M} rows) exceed the smallest band"
+            f" ({min(sizes)} rows): lower k_fuse or bands"
+            f" (pick_k_bands skips such splits)"
+        )
+    starts = np.concatenate([[0], np.cumsum(sizes)])
+
+    def yband(arr, lo, hi, axis):
+        return jax.lax.slice_in_dim(arr, int(lo), int(hi), axis=axis)
+
+    # pre-block snapshot of each inner band's lower pad + margin rows
+    # (the rows band b reads that lower bands will have overwritten)
+    strips = [
+        yband(U, starts[b] - M, py + starts[b], 2) for b in range(1, bands)
+    ]
+    out = U
+    for b in range(bands):
+        m_lo = 0 if b == 0 else M
+        m_hi = 0 if b == bands - 1 else M
+        b0, b1 = int(starts[b]), int(starts[b + 1])
+        g_b = _dc.replace(grid, ny=sizes[b] + m_lo + m_hi)
+        s0 = b0 - m_lo  # array row where the band input starts
+        s1 = py + b1 + m_hi + py  # one past its last pad row
+        if b == 0:
+            band_u = yband(out, 0, s1, 2)
+        else:
+            band_u = jnp.concatenate(
+                [strips[b - 1], yband(out, py + b0, s1, 2)], axis=2
+            )
+        zr_b = zrim if z_embed else yband(zrim, s0, s1, 1)
+        w_b = None if w is None else yband(w, s0, s1, 1)
+        ub = sweep_fused(
+            band_u, zr_b, grid=g_b, dt=dt, m_val=m_val, k_fuse=K, cur=cur,
+            interpret=interpret, vmem_limit=vmem_limit, frozen_lo=frozen_lo,
+            frozen_hi=frozen_hi, ring_profile=ring_profile, pair=pair,
+            flat=flat, w=w_b,
+        )
+        rows = yband(ub, py + m_lo, py + m_lo + sizes[b], 2)
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out, rows.astype(out.dtype), py + b0, axis=2
+        )
+    return out

@@ -166,6 +166,7 @@ class ZSplitEngine:
         from .ops import stencil_sweep
 
         self.sweep_k = 0
+        self.sweep_bands = 1
         self.sweep_w = None
         bf16 = cfg.storage_dtype == "bfloat16"
         want = cfg.t_fuse == 0 or cfg.t_fuse >= 3
@@ -184,7 +185,7 @@ class ZSplitEngine:
                 raise ValueError(
                     "t_fuse>=3 (sweep kernel) requires identical rims, no"
                     " rim source deposits, ny % 8 == 0 (ny % 16 == 0 for"
-                    " bfloat16 storage), order <= 4 (radius <= 2), and"
+                    " bfloat16 storage), order <= 6 (radius <= 3), and"
                     " nx >= 2*radius"
                 )
             return
@@ -193,7 +194,7 @@ class ZSplitEngine:
         # vs 52.1% — scripts/prof_sweep2.py, round 2); pick_k_fuse degrades
         # when the stage rings exceed the VMEM budget
         k_req = 4 if cfg.t_fuse == 0 else cfg.t_fuse
-        k = stencil_sweep.pick_k_fuse(
+        k, _bands = stencil_sweep.pick_k_bands(
             grid, k_req, bf16=bf16, variable_m=variable
         )
         if explicit and k != cfg.t_fuse:
@@ -218,6 +219,11 @@ class ZSplitEngine:
         # cells); explicit t_fuse requires its exact depth or raises
         ks = [k] if explicit else list(range(k, 1, -1))
         for k_try in ks:
+            k_b, bands = stencil_sweep.pick_k_bands(
+                grid, k_try, bf16=bf16, variable_m=variable
+            )
+            if k_b != k_try:
+                continue  # this depth fits no (bands) split
             ze = stencil_sweep.z_embedded(grid)
             lay = _ZS(
                 grid, py=16 if bf16 else 8,
@@ -250,6 +256,7 @@ class ZSplitEngine:
                     )
                 continue
             self.sweep_k = k_try
+            self.sweep_bands = bands
             self.sweep_lay = lay
             self.sweep_term = s_core
             self.sweep_cubes = {
@@ -558,10 +565,10 @@ class ZSplitEngine:
         g, dtv, mv = self.grid, self.cfg.dt, self.m_val
 
         def scall(U, kk, cur=1):
-            return self._sweep.sweep_fused(
+            return self._sweep.sweep_fused_banded(
                 U, zrT, grid=g, dt=dtv, m_val=mv, k_fuse=kk, cur=cur,
-                interpret=self._interpret, pair=self.cfg.pair,
-                w=self.sweep_w,
+                bands=self.sweep_bands, interpret=self._interpret,
+                pair=self.cfg.pair, w=self.sweep_w,
             )
 
         def single(U, cur, src_row):
