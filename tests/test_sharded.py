@@ -414,3 +414,84 @@ def test_sharded_2d_mesh_requires_sweep():
     cfg = tf.SimConfig(dt=0.001, nsteps=4, backend="pallas")
     with pytest.raises(ValueError):
         ShardedSimulator(g, cfg, m, make_mesh(shape=(4, 2)))
+
+
+# ---- exchange/compute overlap (SURVEY §7 hard parts) -------------------------
+
+
+def test_sharded_overlap_bitwise():
+    """The overlap block (x-interior slab from the pre-exchange array +
+    edge slabs after the ppermute, sharded_sweep.kern_overlap) must be
+    BITWISE equal to the serial exchange->kern order, sources included."""
+    g = tf.Grid3D(96, 16, 16, hx=1.0, hy=1.0, hz=1.0)
+    _, uc0, m = make_correctness_ic(g)
+    up0 = uc0.copy()
+    coords = np.array([[48.3, 8.0, 8.0]], np.float32)
+    nsteps = 7  # two K=3 blocks + rem 1
+    src = tf.ricker_table(nsteps, 1, 0.001)
+    outs = {}
+    for ov in ("auto", "off"):
+        cfg = tf.SimConfig(dt=0.001, nsteps=nsteps, backend="pallas",
+                           overlap=ov)
+        sim = ShardedSimulator(g, cfg, m, make_mesh(4), src_coords=coords)
+        assert sim.sweep is not None
+        if ov == "auto":  # eligibility: nxk - 2E = 32 - 20 >= 8
+            assert sim.sweep.lgrid.nx - 2 * (
+                2 * sim.sweep.K * sim.sweep.R - sim.sweep.R
+            ) >= 8
+        st, ms, pk = sim.prepare(up0.copy(), uc0.copy(), m)
+        st = sim.run(st, ms, pk, src, nsteps)
+        P, C = sim.extract_state(st)
+        outs[ov] = (P, C)
+    assert np.array_equal(outs["auto"][1], outs["off"][1])
+    assert np.array_equal(outs["auto"][0], outs["off"][0])
+    _, oC = tf.oracle_run(up0.copy(), uc0.copy(), m, g, 0.001, nsteps,
+                          src=src, src_coords=coords, dtype=np.float64)
+    assert rel_l2(outs["auto"][1], oC) < 1e-5
+
+
+def test_sharded_overlap_interior_independent_of_exchange(monkeypatch):
+    """Structural overlap guarantee: the x-interior slab kernel must not
+    consume the x ppermute's result (that independence is what lets XLA
+    run the collective under the kernel). Poison every ppermute payload
+    with NaNs: the slab's true-region planes must still match the clean
+    serial run bit-for-bit, while halo-adjacent planes get poisoned."""
+    g = tf.Grid3D(96, 16, 16, hx=1.0, hy=1.0, hz=1.0)
+    _, uc0, m = make_correctness_ic(g)
+    up0 = uc0.copy()
+    h = g.halo
+
+    cfg_off = tf.SimConfig(dt=0.001, nsteps=3, backend="pallas",
+                           overlap="off")
+    sim0 = ShardedSimulator(g, cfg_off, m, make_mesh(4))
+    st, ms, pk = sim0.prepare(up0.copy(), uc0.copy(), m)
+    st = sim0.run(st, ms, pk, None, 3)  # one K=3 block
+    _, C_clean = sim0.extract_state(st)
+
+    real_ppermute = jax.lax.ppermute
+
+    def poisoned(x, axis_name, perm):
+        return real_ppermute(x, axis_name, perm) * np.float32(np.nan)
+
+    cfg_ov = tf.SimConfig(dt=0.001, nsteps=3, backend="pallas",
+                          overlap="auto")
+    sim1 = ShardedSimulator(g, cfg_ov, m, make_mesh(4))
+    K, R, M = sim1.sweep.K, sim1.sweep.R, sim1.sweep.M
+    E = 2 * K * R - R
+    st, ms, pk = sim1.prepare(up0.copy(), uc0.copy(), m)
+    monkeypatch.setattr(jax.lax, "ppermute", poisoned)
+    st = sim1.run(st, ms, pk, None, 3)
+    monkeypatch.setattr(jax.lax, "ppermute", real_ppermute)
+    _, C_pois = sim1.extract_state(st)
+
+    nxl = g.nx // 4
+    mid_ok = False
+    for i in range(4):
+        # shard i's x-interior slab true region, in padded global coords
+        lo = h + i * nxl + (E - M)
+        hi = h + i * nxl + nxl - (E - M)
+        assert np.array_equal(C_pois[lo:hi], C_clean[lo:hi]), i
+        mid_ok = True
+    assert mid_ok
+    # sanity: the poison reached the edge slabs of interior shards
+    assert np.isnan(C_pois).any()

@@ -169,3 +169,10 @@ class SimConfig:
     # bitwise-identical output, ~2x fewer VPU op issues (the dominant cost
     # for sub-256^2 planes); "off" forces per-plane, "on" requires pairing
     pair: str = "auto"
+    # sharded-sweep exchange/compute overlap: split each K-block into an
+    # x-interior slab (reads only pre-exchange planes, so XLA's latency-
+    # hiding scheduler can run the x ppermute during its kernel) plus two
+    # edge slabs computed after the exchange lands — bitwise-identical to
+    # the serial exchange->kern order (SURVEY §7 "hard parts"). "auto"/"on"
+    # enable it whenever the shard is wide enough; "off" keeps serial.
+    overlap: str = "auto"

@@ -479,6 +479,114 @@ class SweepShard:
             case = cx * len(cases_y) + cy
             return jax.lax.switch(case, funcs, U)
 
+        # ---- exchange/compute overlap (SURVEY §7 hard parts) ----------------
+        # Planes >= E = 2D - R of the extended interior are provably
+        # independent of this block's x exchange: the exchange rewrites
+        # interior planes [-R, M) / [nxk - M, nxk - M + D), and K fused
+        # stages propagate any value at most D = K*R planes. So the block
+        # splits into an x-interior slab computed from the PRE-x-exchange
+        # array (no data dependence on the ppermute in either direction —
+        # XLA's latency-hiding scheduler can run the collective during its
+        # kernel) and two edge slabs computed after the exchange lands.
+        # Each slab carries the usual (K-1)*R discard margin; every slab
+        # value written back is produced from identical inputs by identical
+        # ops, so the result is BITWISE equal to the serial order
+        # (tests/test_sharded.py::test_sharded_overlap_bitwise).
+        E_ov = 2 * D - R
+        Mb_ov = M
+        use_overlap = (
+            self.cfg.overlap != "off"
+            and nx_ > 1
+            and K >= 2
+            and nxk - 2 * E_ov >= 8
+        )
+
+        def slab(A, a0, a1, ax):
+            return jax.lax.slice_in_dim(A, int(a0), int(a1), axis=ax)
+
+        def band_switch(u_b, z_b, w_b, g_b, kk, cases_x_b, cx_b):
+            """Per-band freeze switch: cases_x_b lists this band's
+            (frozen_lo, frozen_hi) cases; y cases mirror kern's."""
+            cases_y = [(0, 0)] if ny_ == 1 else [(0, 0), (My, 0), (0, My)]
+
+            def mk(fx, fy):
+                return lambda u: sweep_fused(
+                    u, z_b, grid=g_b, dt=dtv, m_val=m_val, k_fuse=kk,
+                    cur=1, interpret=interp, frozen_lo=fx[0], frozen_hi=fx[1],
+                    frozen_ylo=fy[0], frozen_yhi=fy[1],
+                    pair=self.cfg.pair, w=w_b,
+                )
+
+            funcs = [mk(fx, fy) for fx in cases_x_b for fy in cases_y]
+            if len(funcs) == 1:
+                return funcs[0](u_b)
+            if ny_ == 1:
+                cy = jnp.int32(0)
+            else:
+                iy = jax.lax.axis_index(ay)
+                cy = jnp.where(iy == 0, 1, jnp.where(iy == ny_ - 1, 2, 0))
+            case = cx_b * len(cases_y) + cy
+            return jax.lax.switch(case, funcs, u_b)
+
+        def kern_overlap(U_pre, zrT, wl, kk):
+            """U_pre: post-y-exchange, PRE-x-exchange array. Returns the
+            block result, bitwise equal to exchange_x -> kern."""
+            import dataclasses as _dc
+
+            E, Mb = E_ov, Mb_ov
+            ix = jax.lax.axis_index(ax)
+
+            def cut3(A, a0, a1):
+                if A is None:
+                    return None
+                if A.ndim == 4:  # U
+                    return slab(A, a0, a1, 1)
+                return slab(A, a0, a1, 0)  # zrT / w slabs share U's x axis
+
+            def zcut(a0, a1):
+                # z_embed carries no side rim array; pass the placeholder
+                return zrT if self.lay.z_embed else cut3(zrT, a0, a1)
+
+            # x-interior slab: true region [E, nxk - E), margins Mb each
+            # side, own px pads — all read from U_pre
+            g_mid = _dc.replace(ge, nx=nxk - 2 * E + 2 * Mb)
+            mid = band_switch(
+                cut3(U_pre, E - Mb, nxk - E + Mb + 2 * px),
+                zcut(E - Mb, nxk - E + Mb + 2 * px),
+                cut3(wl, E - Mb, nxk - E + Mb + 2 * px),
+                g_mid, kk, [(0, 0)], jnp.int32(0),
+            )
+            U_ex = exchange_x(U_pre)
+            g_edge = _dc.replace(ge, nx=E + Mb)
+            cx_lo = jnp.where(ix == 0, 1, 0)
+            lo = band_switch(
+                cut3(U_ex, 0, E + Mb + 2 * px),
+                zcut(0, E + Mb + 2 * px),
+                cut3(wl, 0, E + Mb + 2 * px),
+                g_edge, kk, [(0, 0), (M, 0)], cx_lo,
+            )
+            cx_hi = jnp.where(ix == nx_ - 1, 1, 0)
+            hi = band_switch(
+                cut3(U_ex, nxk - E - Mb, nxk + 2 * px),
+                zcut(nxk - E - Mb, nxk + 2 * px),
+                cut3(wl, nxk - E - Mb, nxk + 2 * px),
+                g_edge, kk, [(0, 0), (0, M)], cx_hi,
+            )
+            # stitch: true-region planes from each slab onto the exchanged
+            # array (pads/margins beyond E were never recomputed here)
+            U_out = jax.lax.dynamic_update_slice_in_dim(
+                U_ex, slab(lo, px, px + E, 1), px, axis=1
+            )
+            U_out = jax.lax.dynamic_update_slice_in_dim(
+                U_out, slab(mid, px + Mb, px + Mb + nxk - 2 * E, 1),
+                px + E, axis=1,
+            )
+            U_out = jax.lax.dynamic_update_slice_in_dim(
+                U_out, slab(hi, px + Mb, px + Mb + E, 1),
+                px + nxk - E, axis=1,
+            )
+            return U_out
+
         def correct(U, ent, s_blk, kk):
             """Post-block source superposition (matches the single-chip
             _sw_correct): level 1 gets row kk-j per entry, level 0 row
@@ -499,8 +607,12 @@ class SweepShard:
 
             def block(U, s_blk, kk):
                 U = exchange_y(U)
-                U = exchange_x(U)
-                U = kern(U, zrT, wl, kk)
+                if use_overlap and kk == K:
+                    # x ppermute rides under the interior-slab kernel
+                    U = kern_overlap(U, zrT, wl, kk)
+                else:
+                    U = exchange_x(U)
+                    U = kern(U, zrT, wl, kk)
                 if have_src:
                     U = correct(U, ent, s_blk, kk)
                 return U
