@@ -665,3 +665,194 @@ def test_sweep_variable_m_bf16():
                           dtype=np.float64)
     # bf16 storage rounds each fused block's output to 8-bit mantissa
     assert rel_l2(got, truth) < 5e-3, rel_l2(got, truth)
+
+
+# ---- y-banded sweep (>= 896^3 flagship path) --------------------------------
+
+
+def test_band_split_helpers():
+    """band_splits partitions ny into aligned positive chunks;
+    band_redundancy is the (K-1)*R margin rounded to the row tile."""
+    from tpufdtd.ops import stencil_sweep as sw
+
+    assert sw.band_splits(32, 2, 8) == [16, 16]
+    assert sw.band_splits(40, 2, 8) == [24, 16]          # uneven split
+    assert sw.band_splits(32, 4, 8) == [8, 8, 8, 8]
+    assert sw.band_splits(32, 2, 16) == [16, 16]         # bf16 tile
+    with pytest.raises(ValueError):
+        sw.band_splits(36, 2, 8)                          # misaligned ny
+    with pytest.raises(ValueError):
+        sw.band_splits(16, 4, 8)                          # too few units
+    assert sw.band_redundancy(2, 2, 8) == 8               # ceil(2/8)*8
+    assert sw.band_redundancy(4, 2, 8) == 8               # ceil(6/8)*8
+    assert sw.band_redundancy(4, 2, 16) == 16
+    assert sw.band_redundancy(6, 3, 8) == 16              # ceil(15/8)*8
+
+
+def test_pick_k_bands_engages_only_when_needed():
+    """bands stays 1 while full planes fit VMEM; >= 896^3 grids split."""
+    from tpufdtd.ops import stencil_sweep as sw
+
+    k, b = sw.pick_k_bands(tf.Grid3D(512, 512, 512), 4)
+    assert b == 1 and k >= 2, (k, b)
+    k, b = sw.pick_k_bands(tf.Grid3D(896, 896, 896), 4)
+    assert b > 1 and k >= 2, (k, b)
+    k, b = sw.pick_k_bands(tf.Grid3D(1024, 1024, 1024), 4)
+    assert b > 1 and k >= 2, (k, b)
+    # bf16 halves the ring bytes but 16-row tiles double the band mult
+    k, b = sw.pick_k_bands(
+        tf.Grid3D(896, 896, 896), 4, bf16=True
+    )
+    assert k >= 2, (k, b)
+
+
+def test_sweep_banded():
+    """sweep_fused_banded is BITWISE-equal to bands=1: each band's margin
+    rows recompute exactly what the unbanded sweep computes there, and the
+    pre-block strip snapshots give every band pre-block neighbor values.
+    Matrix: bands in {2,4}, K in {2,3,4}, both rim modes (zrT nz=128 and
+    z_embed nz=32), uneven splits, frozen x margins, bf16 storage, and the
+    heterogeneous-m w stream (ref capability: one kernel covers any grid
+    under device memory, main.cpp:337-341)."""
+    import jax.numpy as jnp
+
+    from tpufdtd.layout import ZSplitLayout
+    from tpufdtd.ops import stencil_sweep as sw
+
+    #       nz   K bands ny  bf16  varm  frozen
+    for nz, K, bands, ny, bf16, varm, frozen in (
+        (128, 2, 2, 32, False, False, (0, 0)),
+        (32, 3, 2, 32, False, False, (0, 0)),     # z_embed rim mode
+        (128, 4, 4, 32, False, False, (0, 0)),    # minimal 8-row bands
+        (128, 2, 2, 40, False, False, (0, 0)),    # uneven split 24/16
+        (128, 3, 2, 32, False, True, (2, 4)),     # w stream + frozen x
+        (128, 2, 2, 32, True, False, (0, 0)),     # bf16 (16-row tiles)
+    ):
+        g = tf.Grid3D(16, ny, nz, hx=1.0, hy=1.0, hz=1.0)
+        up, uc = _fast_ic(g, seed=23)
+        py = 16 if bf16 else 8
+        lay = ZSplitLayout(g, py=py, xpad=max(g.halo, K * g.radius),
+                           z_embed=sw.z_embedded(g))
+        p_core, p_zrim = lay.split(up)
+        c_core, _ = lay.split(uc)
+        dt_store = jnp.bfloat16 if bf16 else jnp.float32
+        U0 = jnp.asarray(np.stack([p_core, c_core]), dt_store)
+        zr = jnp.asarray(
+            p_zrim if sw.z_embedded(g) else sw.pad_zrim(p_zrim), jnp.float32
+        )
+        w = None
+        if varm:
+            rngw = np.random.default_rng(29)
+            w = jnp.asarray(
+                (0.001 ** 2 / (1.5 + 0.1 * rngw.random(U0.shape[1:])))
+                .astype(np.float32)
+            )
+        outs = {}
+        for nb in (1, bands):
+            outs[nb] = np.asarray(
+                sw.sweep_fused_banded(
+                    U0, zr, grid=g, dt=0.001, m_val=1.5, k_fuse=K,
+                    bands=nb, interpret=True, frozen_lo=frozen[0],
+                    frozen_hi=frozen[1], w=w,
+                ).astype(jnp.float32)
+            )
+        assert np.array_equal(outs[1], outs[bands]), \
+            (nz, K, bands, ny, bf16, varm, frozen)
+
+
+def test_sweep_banded_simulator_with_sources():
+    """End-to-end: the Simulator's sweep ring with sweep_bands=2 forced
+    (banding is transparent, so small grids exercise the same stepper path
+    >= 896^3 grids take) is bitwise-equal to the bands=1 run, sources
+    included — injections and fused correction cubes land on U outside the
+    banded kernel (stepper.py _sw_correct)."""
+    g = tf.Grid3D(16, 32, 32, hx=1.0, hy=1.0, hz=1.0)
+    coords = np.array([[8.0, 16.0, 16.0]], np.float32)
+    nsteps = 7
+    up, uc = _fast_ic(g, seed=31)
+    m = np.full(g.padded_shape, 1.5, np.float32)
+    cfg = tf.SimConfig(dt=0.001, nsteps=nsteps, backend="pallas")
+    src = tf.ricker_table(nsteps, 1, cfg.dt)
+    outs = {}
+    for bands in (1, 2):
+        sim = Simulator(g, cfg, m, coords)
+        assert sim.engine.sweep_k >= 2
+        sim.engine.sweep_bands = bands
+        state = sim.prepare_state(up.copy(), uc.copy())
+        assert next(iter(state)).startswith("sweep")
+        state = sim.run(state, src, nsteps)
+        outs[bands] = np.stack(sim.extract_state(state))
+    assert np.array_equal(outs[1], outs[2])
+    truth = oracle_run(up.copy(), uc.copy(), m, g, cfg.dt, nsteps,
+                       src=src, src_coords=coords, dtype=np.float64)
+    assert rel_l2(outs[2][1], truth[1]) < 2e-6
+
+
+# ---- gate-lattice property test ---------------------------------------------
+
+
+@pytest.mark.parametrize("nz,Ks", [(128, (2, 4)), (32, (1, 3))])
+def test_sweep_gate_lattice_bitwise(nz, Ks):
+    """Property sweep over the full (rim-mode, K, ring_profile, pair,
+    variable_m) gate lattice: every combination the gates admit must (a)
+    satisfy the w-ring/unroll static-slot divisibility rule and (b) produce
+    output BITWISE equal to the canonical per-plane std-profile run of the
+    same (K, variable_m) — so future ring-geometry edits cannot silently
+    reintroduce the round-2 w-ring slot/depth mismatch class of bug
+    (the reference hit the analogous design-rule regression,
+    STABILITY_FIX_LOG.md:75-114). Combinations the gates REJECT must raise
+    a ValueError, never mis-compute."""
+    import jax.numpy as jnp
+
+    from tpufdtd.layout import ZSplitLayout
+    from tpufdtd.ops import stencil_sweep as sw
+
+    rngw = np.random.default_rng(41)
+    if True:  # zrT rim-ring mode (nz=128) / z_embed mode (nz=32)
+        g = tf.Grid3D(12, 16, nz, hx=1.0, hy=1.0, hz=1.0)
+        up, uc = _fast_ic(g, seed=37)
+        base = {}
+        for K in Ks:
+            lay = ZSplitLayout(g, py=8, xpad=max(g.halo, max(K, 2) * g.radius),
+                               z_embed=sw.z_embedded(g))
+            p_core, p_zrim = lay.split(up)
+            c_core, _ = lay.split(uc)
+            U0 = jnp.asarray(np.stack([p_core, c_core]))
+            zr = jnp.asarray(
+                p_zrim if sw.z_embedded(g) else sw.pad_zrim(p_zrim),
+                jnp.float32,
+            )
+            wfield = jnp.asarray(
+                (0.001 ** 2 / (1.5 + 0.1 * rngw.random(U0.shape[1:])))
+                .astype(np.float32)
+            )
+            if K > sw.max_k_fuse(g, px=max(g.halo, max(K, 2) * g.radius)):
+                continue
+            for varm in (False, True):
+                w = wfield if varm else None
+                key = (K, varm)
+                for prof in ("std", "deep"):
+                    for pair in ("off", "on"):
+                        pb = 2 if pair == "on" else 1
+                        rings = sw._ring_profile(g, 8, prof, pb=pb)
+                        zl, unroll = rings[6], rings[5]
+                        admitted = (
+                            not varm
+                            or unroll % sw._w_ring_n(
+                                K, g.radius, zl, unroll, pb=pb
+                            ) == 0
+                        )
+                        call = lambda: sw.sweep_fused(
+                            U0, zr, grid=g, dt=0.001, m_val=1.5, k_fuse=K,
+                            interpret=True, ring_profile=prof, pair=pair,
+                            w=w,
+                        )
+                        if not admitted:
+                            with pytest.raises(ValueError, match="w ring"):
+                                call()
+                            continue
+                        out = np.asarray(call())
+                        if key not in base:
+                            base[key] = out
+                        assert np.array_equal(out, base[key]), \
+                            (nz, K, prof, pair, varm)

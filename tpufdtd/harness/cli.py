@@ -48,6 +48,11 @@ def main(argv=None):
     p.add_argument("--csv", default="benchmark.csv")
     p.add_argument("--skip-correctness", action="store_true")
     p.add_argument("--skip-perf", action="store_true")
+    p.add_argument("--hbm-frac", type=float, default=0.6,
+                   help="fraction of HBM the working-set guard may use"
+                        " (the reference's 40 GB guard, main.cpp:337-341;"
+                        " raise toward 0.9 to reach the largest banded"
+                        " grids on a 16 GiB chip)")
     p.add_argument("--append-csv", action="store_true",
                    help="append to an existing CSV instead of replacing it "
                         "(the reference always starts fresh, main.cpp:796)")
@@ -110,6 +115,7 @@ def main(argv=None):
                 csv_path=args.csv,
                 storage_dtype=rc.storage,
                 peaks=peaks,
+                hbm_budget_frac=args.hbm_frac,
                 t_fuse=rc.t_fuse,
                 pair=rc.pair,
             )

@@ -8,11 +8,16 @@ HBM; zero ICs, m = 1.5, h = 0.1, dt = 1e-3; 5 warmup physics steps untimed
 classification at 80% thresholds (main.cpp:456-463); CSV append per config.
 
 Section split: the reference's optimized kernel cannot time sections inside
-its async loop and reports a fixed 85/15 estimate (cuda_optimized.cu:469-470).
-Here the whole scan is one XLA program, so sections are likewise estimated:
-section1 (source injection) is attributed its work share
-8*nsrc/(interior + 8*nsrc) of device time — effectively ~0 for point sources,
-which is what a fused injection actually costs.
+its async loop and reports a fixed 85/15 estimate (cuda_optimized.cu:469-470);
+only its OpenACC/plain-CUDA backends measure the two sections with real
+synchronized timers (cuda.cu:267-314, openacc.cpp:150-204). Here the whole
+scan is one XLA program, so the split is MEASURED by a two-program delta
+(measure_split=True, the default): the same timed span is re-run as a
+stencil-only program (src table withheld -> the injection scatter is absent
+from the trace), and section1 = full - stencil_only. With
+measure_split=False the old work-share estimate
+(8*nsrc/(interior + 8*nsrc)) is used; the console notes which mode produced
+the CSV columns.
 """
 
 from __future__ import annotations
@@ -30,7 +35,7 @@ from ..utils.peaks import DevicePeaks, detect_peaks
 from ..utils.stats import compute_stats
 from ..wavelets import default_source_coords, ricker_table
 
-DEFAULT_GRIDS = (32, 64, 96, 128, 192, 256, 384, 512, 640, 768)
+DEFAULT_GRIDS = (32, 64, 96, 128, 192, 256, 384, 512, 640, 768, 896)
 
 
 def _zero_rims(a, h):
@@ -44,10 +49,13 @@ def state_bytes(grid: Grid3D, method: str = "pallas", t_fuse: int = 0,
                 storage_dtype: str = "float32") -> int:
     """Working-set estimate for the skip check (the reference's 40 GB guard,
     main.cpp:337-341). The v5 sweep engine is in-place on U[2], so its
-    steady state is 2 levels (re-preparation transiently doubles that); the
-    v4 packed engines hold 4 ring levels plus the transient. t_fuse=1/2
-    forces the packed engines, so the sweep estimate must not apply.
-    bf16 storage halves the per-level bytes on the sweep and jnp engines."""
+    steady state is 2 levels; the y-banded variant (pick_k_bands bands > 1,
+    engaged when full-plane rings overflow VMEM at >= 896^3) additionally
+    gathers/writes one band slab at a time (~2 levels / bands transient).
+    The v4 packed engines hold 4 ring levels plus the transfer transient.
+    t_fuse=1/2 forces the packed engines, so the sweep estimate must not
+    apply. bf16 storage halves the per-level bytes on the sweep and jnp
+    engines."""
     from ..ops import stencil_sweep
 
     bf16 = storage_dtype == "bfloat16"
@@ -58,12 +66,17 @@ def state_bytes(grid: Grid3D, method: str = "pallas", t_fuse: int = 0,
         and t_fuse not in (1, 2)
         and stencil_sweep.supported(grid)
         and (not bf16 or stencil_sweep.bf16_supported(grid))
-        and stencil_sweep.pick_k_fuse(
-            grid, 3 if t_fuse == 0 else t_fuse, bf16=bf16
-        ) >= 2
     )
     if sweep_eligible:
-        return 4 * volp * esz + (64 << 20)
+        k, bands = stencil_sweep.pick_k_bands(
+            grid, 3 if t_fuse == 0 else t_fuse, bf16=bf16
+        )
+        if k >= 2:
+            # 2 resident levels + per-band gather/write-back transient
+            # (the perf loop drops the previous rep's state before
+            # re-preparing, so two full states never coexist)
+            transient = 2 * volp * esz // bands if bands > 1 else 0
+            return 2 * volp * esz + transient + (64 << 20)
     if method == "jnp" or bf16:
         # 3-level exact ring + m + transfer transient
         return 8 * volp * esz
@@ -83,6 +96,7 @@ def run_benchmark(
     hbm_budget_frac: float = 0.6,
     t_fuse: int = 0,
     pair: str = "auto",
+    measure_split: bool = True,
 ):
     peaks = peaks or detect_peaks()
     is_optimized = method != "jnp"
@@ -146,6 +160,9 @@ def run_benchmark(
             rng = np.random.default_rng(rep)
             ua = _zero_rims(rng.standard_normal(shape).astype(np.float32), grid.halo)
             ub = _zero_rims(rng.standard_normal(shape).astype(np.float32), grid.halo)
+            state = None  # free the previous rep's device state BEFORE
+            # re-preparing: two full states never coexist (state_bytes
+            # models 2 resident levels for the in-place sweep)
             t0 = time.perf_counter()
             state = sim.prepare_state(ua, ub)
             state, secs = sim.run_timed(state, src, timing_repeat=q)
@@ -155,11 +172,41 @@ def run_benchmark(
             device_times.append(secs)
             total_times.append(total)
 
-        # section split estimate (see module docstring)
+        # section split (see module docstring): measured two-program delta
+        # by default, work-share estimate as fallback
         interior = grid.interior_cells
-        s1_share = (8.0 * nsrc) / (interior + 8.0 * nsrc)
-        s0_times = [t * (1 - s1_share) for t in device_times]
-        s1_times = [t * s1_share for t in device_times]
+        split_mode = "estimated"
+        if measure_split and nsrc > 0:
+            # one stencil-only rep (warm + timed): identical span, no
+            # injection in the trace; the delta vs the full program is the
+            # real section1 cost
+            nosrc_times = []
+            for rep in range(2):
+                rng = np.random.default_rng(100 + rep)
+                ua = _zero_rims(
+                    rng.standard_normal(shape).astype(np.float32), grid.halo
+                )
+                ub = _zero_rims(
+                    rng.standard_normal(shape).astype(np.float32), grid.halo
+                )
+                state = None
+                state = sim.prepare_state(ua, ub)
+                state, secs = sim.run_timed(state, None, timing_repeat=q)
+                if rep > 0:
+                    nosrc_times.append(secs)
+            s0_meas = min(min(nosrc_times), min(device_times))
+            s1_meas = max(0.0, float(np.mean(device_times)) - s0_meas)
+            s0_times = [t - s1_meas for t in device_times]
+            s1_times = [s1_meas for _ in device_times]
+            split_mode = "measured"
+        elif nsrc == 0:
+            s0_times = list(device_times)
+            s1_times = [0.0 for _ in device_times]
+            split_mode = "measured"
+        else:
+            s1_share = (8.0 * nsrc) / (interior + 8.0 * nsrc)
+            s0_times = [t * (1 - s1_share) for t in device_times]
+            s1_times = [t * s1_share for t in device_times]
         overheads = [max(0.0, t - d) for t, d in zip(total_times, device_times)]
 
         dstats = compute_stats(device_times)
@@ -186,7 +233,8 @@ def run_benchmark(
                 f"Total time:   {tstats.mean*1e3:.2f} ± {tstats.stddev*1e3:.2f} ms\n"
                 f"Device time:  {dstats.mean*1e3:.2f} ± {dstats.stddev*1e3:.2f} ms"
                 f"  (section0={s0stats.mean*1e3:.2f}±{s0stats.stddev*1e3:.2f}ms,"
-                f" section1={s1stats.mean*1e3:.2f}±{s1stats.stddev*1e3:.2f}ms)\n"
+                f" section1={s1stats.mean*1e3:.2f}±{s1stats.stddev*1e3:.2f}ms,"
+                f" split {split_mode})\n"
                 f"Overhead:     {ostats.mean*1e3:.2f} ± {ostats.stddev*1e3:.2f} ms"
                 "  (init/transfers/dispatch)\n"
                 f"Perf:         {gfstats.mean:.1f} ± {gfstats.stddev:.1f} GFLOP/s,  "
@@ -239,6 +287,7 @@ def run_benchmark(
         # reference's (timing reps above use random ICs); split into the
         # same warmup/main spans so the already-compiled programs are reused
         w = min(cfg.warmup_steps, timesteps)
+        state = None  # free the timing state before the zero-IC run
         state = sim.prepare_state(u0, u0)
         state = sim.run(state, src[:w] if src is not None else None, w)
         state = sim.run(

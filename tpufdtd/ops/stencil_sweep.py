@@ -113,8 +113,19 @@ PAIR_PROFILE_DEEP = (8, 8, 4, 8, 4, 8, 2)
 
 def _ring_profile(grid: Grid3D, py: int = 8, name: str = "auto",
                   pb: int = 1):
+    if name not in ("auto", "std", "deep"):
+        raise ValueError(
+            f"ring_profile must be 'auto', 'std' or 'deep'; got {name!r}"
+        )
     if grid.radius == 3:
-        # single radius-3 geometry (pairing is radius-2 only, so pb == 1)
+        # single radius-3 geometry (pairing is radius-2 only, so pb == 1);
+        # an explicit std/deep request cannot be honored here
+        if name != "auto":
+            raise ValueError(
+                "radius-3 (order-6) grids have a single ring geometry"
+                f" (PROFILE_R3); ring_profile={name!r} is not selectable —"
+                " pass 'auto'"
+            )
         return PROFILE_R3
     deep_name, std_name = (
         (PAIR_PROFILE_DEEP, PAIR_PROFILE_STD) if pb == 2
@@ -194,7 +205,7 @@ def bf16_supported(grid: Grid3D) -> bool:
 
 def vmem_bytes(grid: Grid3D, K: int, px: int, py: int = 8,
                bf16: bool = False, pb: int = 1,
-               variable_m: bool = False) -> int:
+               variable_m: bool = False, flat: bool = False) -> int:
     """Scratch VMEM this kernel needs at fusion depth K (rings + the
     lane-padded zrT block); used to pick the largest K that fits.
 
@@ -208,7 +219,8 @@ def vmem_bytes(grid: Grid3D, K: int, px: int, py: int = 8,
     esz = 2 if bf16 else 4
     plane = pb * nyp * nz * 4  # f32 compute slot (pb planes)
     plane_s = pb * nyp * nz * esz  # storage-dtype slot (DMA rings)
-    out_plane = pb * ny * nz * esz
+    # flat mode emits full rows (pad rows included) into the out ring
+    out_plane = pb * (nyp if flat else ny) * nz * esz
     if z_embedded(grid):
         zrt = 8 * 128 * 4  # placeholder block only
     else:
@@ -1555,10 +1567,11 @@ def sweep_fused(
         )
     pb = 2 if pair != "off" and pair_ok else 1
     use_flat = flat == "on" or (flat == "auto" and pb == 2)
+    pair_vmem_over = pb == 2 and vmem_bytes(
+        grid, K, px, py, bf16, pb=2, variable_m=variable_m, flat=use_flat
+    ) > VMEM_BUDGET
     if pair == "auto" and pb == 2 and (
-        (core_nz(grid) < 256 and not use_flat)
-        or vmem_bytes(grid, K, px, py, bf16, pb=2, variable_m=variable_m)
-        > VMEM_BUDGET
+        (core_nz(grid) < 256 and not use_flat) or pair_vmem_over
     ):
         # measured (v5e, 50 steps, K=4): 3-D chunked pairing wins only at
         # plane widths >= 256 lanes (192^3 z-embed: +9.6%, 256^3: +2.9%)
@@ -1571,6 +1584,14 @@ def sweep_fused(
         use_flat = flat == "on"
     if use_flat and pb != 2:
         if flat == "on":
+            if pair_vmem_over:
+                raise ValueError(
+                    "flat='on' needs the paired (pb=2) kernel, but its"
+                    " chunk rings exceed the VMEM budget on this grid at"
+                    f" k_fuse={K} (pairing was eligible and demoted by the"
+                    " VMEM check); lower k_fuse or pass pair='on' to force"
+                    " it anyway"
+                )
             raise ValueError(
                 "flat='on' requires the paired kernel (pair eligible);"
                 " flat chunking is a mode of the pb=2 kernel"

@@ -193,6 +193,11 @@ class SweepShard:
                  m_ref=None):
         from ..ops import stencil_sweep
 
+        if cfg.overlap not in ("auto", "on", "off"):
+            raise ValueError(
+                "overlap must be 'auto', 'on' or 'off';"
+                f" got {cfg.overlap!r}"
+            )
         self.grid = grid
         self.cfg = cfg
         self.mesh = mesh
