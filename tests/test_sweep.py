@@ -856,3 +856,63 @@ def test_sweep_gate_lattice_bitwise(nz, Ks):
                             base[key] = out
                         assert np.array_equal(out, base[key]), \
                             (nz, K, prof, pair, varm)
+
+
+# ---- deep fusion (K = 5-6, paired-kernel capability on zrT grids) -----------
+
+
+def test_sweep_deep_k_bitwise():
+    """K in {5, 6} on a zrT-mode grid (per-plane cap is 4; the paired
+    kernel's chunk-unit z-rim ring admits 6 — max_k_fuse) is BITWISE-equal
+    to chained shallower sweeps of the same total depth, and within the
+    oracle tolerance. pair='off' at the same K must raise the
+    paired-kernel-required error; pick_k_fuse respects the pair cap."""
+    import jax.numpy as jnp
+
+    from tpufdtd.layout import ZSplitLayout
+    from tpufdtd.ops import stencil_sweep as sw
+
+    g = tf.Grid3D(16, 16, 128, hx=1.0, hy=1.0, hz=1.0)
+    assert not sw.z_embedded(g)
+    assert sw.max_k_fuse(g, px=12, pb=1) == 4
+    assert sw.max_k_fuse(g, px=12, pb=2) == 6
+    assert sw.pick_k_fuse(g, 6) == 6
+    assert sw.pick_k_fuse(g, 6, pair="off") == 4
+    up, uc = _fast_ic(g, seed=11)
+
+    def run_k(up, uc, K, chain=(None,)):
+        px = max(g.halo, 6 * g.radius)
+        lay = ZSplitLayout(g, py=8, xpad=px, z_embed=False)
+        p_core, p_zrim = lay.split(up)
+        c_core, _ = lay.split(uc)
+        U = jnp.asarray(np.stack([p_core, c_core]))
+        zr = jnp.asarray(sw.pad_zrim(p_zrim))
+        for kk in chain if chain != (None,) else (K,):
+            U = sw.sweep_fused(U, zr, grid=g, dt=0.001, m_val=1.5,
+                               k_fuse=kk, interpret=True)
+        return np.asarray(U)
+
+    got5 = run_k(up, uc, 5)
+    want5 = run_k(up, uc, None, chain=(3, 2))
+    assert np.array_equal(got5, want5)
+    got6 = run_k(up, uc, 6)
+    want6 = run_k(up, uc, None, chain=(4, 2))
+    assert np.array_equal(got6, want6)
+    m = np.full(g.padded_shape, 1.5, np.float32)
+    truth = oracle_run(up.copy(), uc.copy(), m, g, 0.001, 6,
+                       dtype=np.float64)
+    lay = ZSplitLayout(g, py=8, xpad=12, z_embed=False)
+    full = lay.join(got6[1], lay.split(up)[1])
+    assert rel_l2(full, truth[1]) < 2e-6
+
+    import pytest
+
+    from tpufdtd.layout import ZSplitLayout as _ZS
+    lay = _ZS(g, py=8, xpad=12, z_embed=False)
+    p_core, p_zrim = lay.split(up)
+    c_core, _ = lay.split(uc)
+    U = jnp.asarray(np.stack([p_core, c_core]))
+    zr = jnp.asarray(sw.pad_zrim(p_zrim))
+    with pytest.raises(ValueError, match="out of range"):
+        sw.sweep_fused(U, zr, grid=g, dt=0.001, m_val=1.5, k_fuse=6,
+                       interpret=True, pair="off")

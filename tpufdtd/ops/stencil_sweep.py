@@ -149,21 +149,30 @@ def pad_zrim(zrim: np.ndarray) -> np.ndarray:
     return out
 
 
-def max_k_fuse(grid: Grid3D, px: int = 8, py: int = 8) -> int:
+def max_k_fuse(grid: Grid3D, px: int = 8, py: int = 8, pb: int = 1) -> int:
     """Largest supported fusion depth for pad geometry (px, py): stage-1's
     x fetch frontier needs px >= K*R; py >= 8 suffices for any K (stages
     compute interior rows only; y rim rows are copied, not computed). The
     cap of 6 is a VMEM-pragmatics bound; zrT-mode grids are further capped
     by the z-rim ring reuse distance: the slot a fetch overwrites was last
-    read R*(K-1) + 1 iterations earlier, so R*(K-1) <= ZR_RING - 2
-    (K <= 4 for radius 2; z_embed grids carry the rim in-core and keep 6)."""
+    read one trail span + 1 iterations earlier. The per-plane kernel
+    trails R*(K-1) PLANES, so R*(K-1) <= ZR_RING - 2 (K <= 4 for radius
+    2); the paired kernel (pb=2) trails K-1 CHUNKS against its own 8-slot
+    chunk ring ((K-1) + 1 + zr_lead <= 8 -> K <= 6), so deep fusion on
+    zrT grids is a paired-kernel capability. z_embed grids carry the rim
+    in-core and keep 6 in both kernels."""
     R = grid.radius
     if R == 3:
         # R3 profile: zr 16 >= 3(K-1) + 1 + 1 -> K <= 4 (both rim modes
-        # share the one radius-3 ring geometry)
+        # share the one radius-3 ring geometry; pairing is radius-2 only)
         cap = 4
+    elif z_embedded(grid):
+        cap = 6
+    elif pb == 2:
+        # pair zr ring: 8 chunk slots >= (K-1) + 1 + ZL (ZL <= 2)
+        cap = min(6, PAIR_PROFILE_STD[3] - 2)
     else:
-        cap = 6 if z_embedded(grid) else min(6, (ZR_RING - 2) // R + 1)
+        cap = min(6, (ZR_RING - 2) // R + 1)
     return max(1, min(px // R, cap)) if py >= 8 else 1
 
 
@@ -265,18 +274,42 @@ def _w_ring_fits(grid: Grid3D, K: int, py: int, pb: int = 1) -> bool:
     return unroll % _w_ring_n(K, grid.radius, zl, unroll, pb=pb) == 0
 
 
+def _k_admissible(grid: Grid3D, k: int, px: int, py: int, bf16: bool,
+                  variable_m: bool, pair: str) -> bool:
+    """True when sweep_fused(k_fuse=k) runs on this grid through at least
+    one kernel: the per-plane path, or the paired (pb=2) path whose
+    chunk-unit z-rim ring admits the deeper K = 5-6 on zrT grids (the
+    auto pair gate engages it whenever the geometry holds and the chunk
+    rings fit VMEM — flat auto resolves on, so no plane-width demotion)."""
+    if (
+        k <= max_k_fuse(grid, px, py, pb=1)
+        and (not variable_m or _w_ring_fits(grid, k, py, pb=1))
+        and vmem_bytes(grid, k, px, py, bf16, pb=1, variable_m=variable_m)
+        <= VMEM_BUDGET
+    ):
+        return True
+    if pair == "off":
+        return False
+    pair_geom = grid.radius == 2 and grid.nx % 2 == 0 and px % 2 == 0
+    return (
+        pair_geom
+        and k <= max_k_fuse(grid, px, py, pb=2)
+        and (not variable_m or _w_ring_fits(grid, k, py, pb=2))
+        and vmem_bytes(
+            grid, k, px, py, bf16, pb=2, flat=True, variable_m=variable_m
+        )
+        <= VMEM_BUDGET
+    )
+
+
 def pick_k_fuse(grid: Grid3D, want: int, bf16: bool = False,
-                variable_m: bool = False) -> int:
+                variable_m: bool = False, pair: str = "auto") -> int:
     """Largest K <= want whose scratch fits the VMEM budget (0 if none)."""
     R = grid.radius
     py = 16 if bf16 else 8
     for k in range(want, 0, -1):
         px = max(grid.halo, k * R)
-        if variable_m and not _w_ring_fits(grid, k, py):
-            continue
-        if k <= max_k_fuse(grid, px, py) and vmem_bytes(
-            grid, k, px, py, bf16, variable_m=variable_m
-        ) <= VMEM_BUDGET:
+        if _k_admissible(grid, k, px, py, bf16, variable_m, pair):
             return k
     return 0
 
@@ -1490,10 +1523,19 @@ def sweep_fused(
         raise ValueError(
             f"sweep kernel supports float32 or bfloat16 storage; got {U.dtype}"
         )
-    if not 1 <= K <= max_k_fuse(grid, px, py):
+    # K range: depths 5-6 on zrT grids are a paired-kernel capability (its
+    # chunk-unit z-rim ring trails K-1 chunks vs the per-plane kernel's
+    # R*(K-1) planes — max_k_fuse); validate against the best admissible
+    # kernel here, then re-check after the pair gate resolves pb below
+    _pair_geom = (
+        grid.radius == 2 and grid.nx % 2 == 0 and px % 2 == 0
+        and frozen_lo % 2 == 0 and frozen_hi % 2 == 0
+    )
+    _kmax = max_k_fuse(grid, px, py, pb=2 if _pair_geom and pair != "off" else 1)
+    if not 1 <= K <= _kmax:
         raise ValueError(
             f"k_fuse={K} out of range for pad geometry px={px}, py={py}"
-            f" (supported: 1..{max_k_fuse(grid, px, py)}; stage-1's fetch"
+            f" (supported: 1..{_kmax}; stage-1's fetch"
             f" frontier needs px >= K*radius)"
         )
     if py < 8 or py % 8 != 0:
@@ -1552,13 +1594,7 @@ def sweep_fused(
         raise ValueError(f"pair must be 'auto', 'on' or 'off'; got {pair!r}")
     if flat not in ("auto", "on", "off"):
         raise ValueError(f"flat must be 'auto', 'on' or 'off'; got {flat!r}")
-    pair_ok = (
-        grid.radius == 2
-        and grid.nx % 2 == 0
-        and px % 2 == 0
-        and frozen_lo % 2 == 0
-        and frozen_hi % 2 == 0
-    )
+    pair_ok = _pair_geom
     if pair == "on" and not pair_ok:
         raise ValueError(
             "pair='on' needs radius 2 and even nx, x pad and frozen"
@@ -1597,6 +1633,20 @@ def sweep_fused(
                 " flat chunking is a mode of the pb=2 kernel"
             )
         use_flat = False
+    if K > max_k_fuse(grid, px, py, pb=pb):
+        # the depth was admitted for the paired kernel but pairing resolved
+        # off (explicit pair='off', or the auto gate demoted it)
+        why = (
+            "pair='off' requested"
+            if pair == "off"
+            else "the auto gate demoted it (VMEM or plane-width)"
+        )
+        raise ValueError(
+            f"k_fuse={K} on a zrT-mode grid needs the paired kernel's"
+            f" chunk-unit z-rim ring (per-plane cap:"
+            f" {max_k_fuse(grid, px, py, pb=1)}), but pairing resolved off"
+            f" here ({why}); lower k_fuse (pick_k_fuse models this)"
+        )
 
     rings = _ring_profile(grid, py, ring_profile, pb=pb)
     cur_n, prev_n, out_n, zr_n = rings[:4]
@@ -1732,7 +1782,7 @@ def band_redundancy(K: int, R: int, mult: int) -> int:
 
 
 def pick_k_bands(grid: Grid3D, want: int, bf16: bool = False,
-                 variable_m: bool = False):
+                 variable_m: bool = False, pair: str = "auto"):
     """(K, bands) for the largest fusion depth that fits VMEM: bands = 1
     (the plain sweep) preferred, then 2/4/8 y bands whose smaller planes
     shrink every ring. Returns (0, 1) when nothing fits (caller falls back
@@ -1758,13 +1808,12 @@ def pick_k_bands(grid: Grid3D, want: int, bf16: bool = False,
             import dataclasses as _dc
 
             g_b = _dc.replace(grid, ny=ny_b)
-            if variable_m and not _w_ring_fits(g_b, k, py):
-                continue
-            if k <= max_k_fuse(g_b, px, py) and vmem_bytes(
-                g_b, k, px, py, bf16, variable_m=variable_m
-            ) <= VMEM_BUDGET:
+            if _k_admissible(g_b, k, px, py, bf16, variable_m, pair):
                 return k, bands
-    return pick_k_fuse(grid, want, bf16=bf16, variable_m=variable_m), 1
+    return (
+        pick_k_fuse(grid, want, bf16=bf16, variable_m=variable_m, pair=pair),
+        1,
+    )
 
 
 def sweep_fused_banded(
