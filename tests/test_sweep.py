@@ -916,3 +916,28 @@ def test_sweep_deep_k_bitwise():
     with pytest.raises(ValueError, match="out of range"):
         sw.sweep_fused(U, zr, grid=g, dt=0.001, m_val=1.5, k_fuse=6,
                        interpret=True, pair="off")
+
+
+def test_stepper_deep_k_via_pair_gate():
+    """Simulator honors explicit t_fuse=6 on a zrT grid (paired-kernel
+    capability) and matches the f64 oracle; with pair='off' the same depth
+    is not runnable and the constructor raises (pick_k_bands threads the
+    pair knob, so selection and execution agree)."""
+    g = tf.Grid3D(16, 16, 128, hx=1.0, hy=1.0, hz=1.0)
+    up, uc = _fast_ic(g, seed=5)
+    m = np.full(g.padded_shape, 1.5, np.float32)
+    cfg = tf.SimConfig(dt=0.001, nsteps=7, backend="pallas", t_fuse=6)
+    sim = Simulator(g, cfg, m, None)
+    assert sim.engine.sweep_k == 6
+    state = sim.prepare_state(up.copy(), uc.copy())
+    state = sim.run(state, None, 7)
+    got_prev, got_cur = sim.extract_state(state)
+    o_prev, o_cur = oracle_run(up.copy(), uc.copy(), m, g, cfg.dt, 7,
+                               dtype=np.float64)
+    assert rel_l2(got_cur, o_cur) < 2e-6
+    assert rel_l2(got_prev, o_prev) < 2e-6
+
+    cfg_off = tf.SimConfig(dt=0.001, nsteps=7, backend="pallas", t_fuse=6,
+                           pair="off")
+    with pytest.raises(ValueError, match="not runnable"):
+        Simulator(g, cfg_off, m, None)

@@ -53,6 +53,10 @@ def main(argv=None):
                         " (the reference's 40 GB guard, main.cpp:337-341;"
                         " raise toward 0.9 to reach the largest banded"
                         " grids on a 16 GiB chip)")
+    p.add_argument("--order", type=int, default=4,
+                   help="spatial stencil order for the perf phase (the"
+                        " reference's STENCIL_ORDER macro, main.cpp:26-29;"
+                        " the sweep engine covers 2-6, packed engines 8-12)")
     p.add_argument("--append-csv", action="store_true",
                    help="append to an existing CSV instead of replacing it "
                         "(the reference always starts fresh, main.cpp:796)")
@@ -118,6 +122,7 @@ def main(argv=None):
                 hbm_budget_frac=args.hbm_frac,
                 t_fuse=rc.t_fuse,
                 pair=rc.pair,
+                order=args.order,
             )
         if args.csv and os.path.exists(args.csv):
             print("\n=== Step 3: Results (benchmark.csv) ===")

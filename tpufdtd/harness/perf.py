@@ -97,15 +97,16 @@ def run_benchmark(
     t_fuse: int = 0,
     pair: str = "auto",
     measure_split: bool = True,
+    order: int = 4,
 ):
     peaks = peaks or detect_peaks()
     is_optimized = method != "jnp"
     bytes_pt = metrics.BYTES_OPTIMIZED if is_optimized else metrics.BYTES_NAIVE
-    ai = metrics.arithmetic_intensity(4, bytes_pt)
+    ai = metrics.arithmetic_intensity(order, bytes_pt)
     results = []
 
     for gs in grids:
-        grid = Grid3D(gs, gs, gs)
+        grid = Grid3D(gs, gs, gs, order=order)
         need = state_bytes(grid, method, t_fuse, storage_dtype)
         budget = peaks.hbm_gib * (1 << 30) * hbm_budget_frac
         if need > budget:

@@ -37,6 +37,19 @@ def provision_virtual_mesh(n_devices: int) -> None:
     CPU platform when the current platform is short (must run before the
     first JAX backend init; jax.config is needed on this stack because the
     env var alone is ignored once the TPU plugin is discovered)."""
+    if n_devices == 1:
+        # a 1-device mesh runs on the real chip: the shard program's
+        # ppermute degenerates but the shard_map plumbing stays, so this
+        # row anchors the shard-program overhead a CPU dryrun cannot
+        # (round-3 verdict #7). Multi-device requests keep the virtual CPU
+        # mesh (this environment tunnels exactly one real chip; probing the
+        # real platform first would lock the backend before the CPU flags
+        # could take effect).
+        import jax
+
+        if jax.device_count() >= 1:
+            return
+
     flag = f"--xla_force_host_platform_device_count={n_devices}"
     xf = os.environ.get("XLA_FLAGS", "")
     if "--xla_force_host_platform_device_count" not in xf:

@@ -192,10 +192,20 @@ class ZSplitEngine:
         # auto depth: K=4 wins at every measured size (512^3: 126.7% vs
         # 114.0% of the 12 B model; 192^3: 129.8% vs 105.0%; 128^3: 63.1%
         # vs 52.1% — scripts/prof_sweep2.py, round 2); pick_k_fuse degrades
-        # when the stage rings exceed the VMEM budget
+        # when the stage rings exceed the VMEM budget. Large zrT grids ask
+        # for the paired kernel's deep K=5 (512^3 measured: 1.37 ms/step vs
+        # 1.39 at K=4, scripts/prof_sweep2.py round 4); small/mid and
+        # z_embed grids keep the round-2-validated K=4, and the banded
+        # variant is capped at K=4 (its deep-K interaction is untested).
         k_req = 4 if cfg.t_fuse == 0 else cfg.t_fuse
+        if (
+            cfg.t_fuse == 0
+            and grid.nx >= 384
+            and not stencil_sweep.z_embedded(grid)
+        ):
+            k_req = 5
         k, _bands = stencil_sweep.pick_k_bands(
-            grid, k_req, bf16=bf16, variable_m=variable
+            grid, k_req, bf16=bf16, variable_m=variable, pair=cfg.pair
         )
         if explicit and k != cfg.t_fuse:
             raise ValueError(
@@ -220,10 +230,12 @@ class ZSplitEngine:
         ks = [k] if explicit else list(range(k, 1, -1))
         for k_try in ks:
             k_b, bands = stencil_sweep.pick_k_bands(
-                grid, k_try, bf16=bf16, variable_m=variable
+                grid, k_try, bf16=bf16, variable_m=variable, pair=cfg.pair
             )
             if k_b != k_try:
                 continue  # this depth fits no (bands) split
+            if not explicit and bands > 1 and k_try > 4:
+                continue  # auto banded runs stay at the tested K <= 4
             ze = stencil_sweep.z_embedded(grid)
             lay = _ZS(
                 grid, py=16 if bf16 else 8,
