@@ -200,7 +200,7 @@ class ZSplitEngine:
         k_req = 4 if cfg.t_fuse == 0 else cfg.t_fuse
         if (
             cfg.t_fuse == 0
-            and grid.nx >= 384
+            and grid.nx >= 512
             and not stencil_sweep.z_embedded(grid)
         ):
             k_req = 5
