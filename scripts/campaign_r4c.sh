@@ -20,8 +20,8 @@ run() {  # run <tag> <timeout_s> <cmd...>
   echo "--- $tag done $(date +%T) ---"
 }
 
-run jnp_768     5400 $CLI --grids 768 --backends jnp
 run pallas_512b 7200 $CLI --grids 512 --backends pallas
+run jnp_768     5400 $CLI --grids 768 --backends jnp
 run jnp_512b    3600 $CLI --grids 512 --backends jnp
 run pallas_896  7200 $CLI --grids 896 --backends pallas
 run pallas_640  7200 $CLI --grids 640 --backends pallas

@@ -113,11 +113,12 @@ def test_sweep_explicit_tfuse3_raises_when_ineligible():
     m[8, 8, 8] = 2.0
     sim = Simulator(g, tf.SimConfig(backend="pallas", t_fuse=3), m)
     assert sim.engine.sweep_k == 3 and sim.engine.m_val is None
-    # order 6 (radius 3) exceeds the sweep's radius-2 design: must raise
-    g6 = tf.Grid3D(16, 16, 32, hx=1.0, hy=1.0, hz=1.0, order=6)
-    m6 = np.full(g6.padded_shape, 1.5, np.float32)
+    # order 6 (radius 3) runs the sweep since the PROFILE_R3 rings landed;
+    # order 8 (radius 4) exceeds the sweep's x-window design: must raise
+    g8 = tf.Grid3D(16, 16, 32, hx=1.0, hy=1.0, hz=1.0, order=8)
+    m8 = np.full(g8.padded_shape, 1.5, np.float32)
     with pytest.raises(ValueError):
-        Simulator(g6, tf.SimConfig(backend="pallas", t_fuse=3), m6)
+        Simulator(g8, tf.SimConfig(backend="pallas", t_fuse=3), m8)
 
 
 def test_sweep_anisotropic_spacing():
@@ -190,14 +191,15 @@ def test_sweep_fallback_source_near_z_rim():
 
 @pytest.mark.parametrize("order", [2, 6, 8, 10, 12])
 def test_fast_ring_other_orders(order):
-    """Fast-ring routing per stencil order: radius <= 2 uses the sweep,
-    higher orders must fall back to the packed engines (the sweep's plane
-    window is built for 5 x-neighbors) and still match the oracle."""
+    """Fast-ring routing per stencil order: radius <= 3 uses the sweep
+    (radius 3 through the PROFILE_R3 rings since round 3), higher orders
+    fall back to the packed engines (the sweep's x window tops out at 7
+    neighbor planes) and still match the oracle."""
     g = tf.Grid3D(12, 16, 32, hx=1.0, hy=1.0, hz=1.0, order=order)
     up, uc = _fast_ic(g, seed=13)
     m = np.full(g.padded_shape, 1.5, np.float32)
     sim = Simulator(g, tf.SimConfig(dt=0.001, nsteps=4, backend="pallas"), m)
-    assert (getattr(sim.engine, "sweep_k", 0) > 0) == (g.radius <= 2)
+    assert (getattr(sim.engine, "sweep_k", 0) > 0) == (g.radius <= 3)
     state = sim.prepare_state(up.copy(), uc.copy())
     state = sim.run(state, None, 4)
     got = sim.extract_state(state)[1]  # u_N (2- or 3-level ring)

@@ -57,6 +57,17 @@ def main(argv=None):
                    help="spatial stencil order for the perf phase (the"
                         " reference's STENCIL_ORDER macro, main.cpp:26-29;"
                         " the sweep engine covers 2-6, packed engines 8-12)")
+    p.add_argument("--measure-split", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="section0/section1 split: 'on' measures it with a"
+                        " second stencil-only program, 'off' uses the"
+                        " work-share estimate. 'auto' measures on the jnp"
+                        " backend and estimates on pallas — mirroring the"
+                        " reference, whose naive kernels time sections"
+                        " (cuda.cu:267-314) while its optimized kernel"
+                        " estimates 85/15 (main.cpp:429-433); on this stack"
+                        " the extra pallas program costs a second ~30-45 min"
+                        " remote Mosaic compile per grid size")
     p.add_argument("--append-csv", action="store_true",
                    help="append to an existing CSV instead of replacing it "
                         "(the reference always starts fresh, main.cpp:796)")
@@ -123,6 +134,11 @@ def main(argv=None):
                 t_fuse=rc.t_fuse,
                 pair=rc.pair,
                 order=args.order,
+                measure_split=(
+                    backend == "jnp"
+                    if args.measure_split == "auto"
+                    else args.measure_split == "on"
+                ),
             )
         if args.csv and os.path.exists(args.csv):
             print("\n=== Step 3: Results (benchmark.csv) ===")

@@ -35,7 +35,7 @@ from ..utils.peaks import DevicePeaks, detect_peaks
 from ..utils.stats import compute_stats
 from ..wavelets import default_source_coords, ricker_table
 
-DEFAULT_GRIDS = (32, 64, 96, 128, 192, 256, 384, 512, 640, 768, 896)
+DEFAULT_GRIDS = (32, 64, 96, 128, 192, 256, 384, 512, 640, 768, 896, 1024)
 
 
 def _zero_rims(a, h):
@@ -78,8 +78,11 @@ def state_bytes(grid: Grid3D, method: str = "pallas", t_fuse: int = 0,
             transient = 2 * volp * esz // bands if bands > 1 else 0
             return 2 * volp * esz + transient + (64 << 20)
     if method == "jnp" or bf16:
-        # 3-level exact ring + m + transfer transient
-        return 8 * volp * esz
+        # donated 3-level carry + next-level temp (XLA may double-buffer
+        # it across scan iterations) + m = 6 levels peak; the 8-level
+        # estimate blocked the 768^3 jnp row on a 16 GiB v5e (13.9 GiB
+        # est. vs 13.6 budget) for a program whose true peak is ~10.4 GiB
+        return 6 * volp * esz + (256 << 20)
     return 8 * volp * 4
 
 

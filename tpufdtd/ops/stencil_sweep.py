@@ -280,7 +280,9 @@ def _k_admissible(grid: Grid3D, k: int, px: int, py: int, bf16: bool,
     one kernel: the per-plane path, or the paired (pb=2) path whose
     chunk-unit z-rim ring admits the deeper K = 5-6 on zrT grids (the
     auto pair gate engages it whenever the geometry holds and the chunk
-    rings fit VMEM — flat auto resolves on, so no plane-width demotion)."""
+    rings fit VMEM; flat auto resolves OFF — round-4 probes measured the
+    non-flat pair fastest at every plane width, see the sweep_fused
+    gate)."""
     if (
         k <= max_k_fuse(grid, px, py, pb=1)
         and (not variable_m or _w_ring_fits(grid, k, py, pb=1))
@@ -296,7 +298,7 @@ def _k_admissible(grid: Grid3D, k: int, px: int, py: int, bf16: bool,
         and k <= max_k_fuse(grid, px, py, pb=2)
         and (not variable_m or _w_ring_fits(grid, k, py, pb=2))
         and vmem_bytes(
-            grid, k, px, py, bf16, pb=2, flat=True, variable_m=variable_m
+            grid, k, px, py, bf16, pb=2, flat=False, variable_m=variable_m
         )
         <= VMEM_BUDGET
     )
@@ -1602,20 +1604,22 @@ def sweep_fused(
             f" frozen={frozen_lo}/{frozen_hi}"
         )
     pb = 2 if pair != "off" and pair_ok else 1
-    use_flat = flat == "on" or (flat == "auto" and pb == 2)
+    use_flat = flat == "on"
     pair_vmem_over = pb == 2 and vmem_bytes(
         grid, K, px, py, bf16, pb=2, variable_m=variable_m, flat=use_flat
     ) > VMEM_BUDGET
-    if pair == "auto" and pb == 2 and (
-        (core_nz(grid) < 256 and not use_flat) or pair_vmem_over
-    ):
-        # measured (v5e, 50 steps, K=4): 3-D chunked pairing wins only at
-        # plane widths >= 256 lanes (192^3 z-embed: +9.6%, 256^3: +2.9%)
-        # and loses at 128-lane widths (128^3: -8%, 64^3: -19%) — at one
-        # vreg-row of lanes the halved op count doesn't cover the 3-D op
-        # overhead. The flat (2-D) chunked leap removes that overhead, so
-        # flat pairing stays on at narrow planes; chunk-sized rings and
-        # temporaries can still blow VMEM on big planes either way.
+    if pair == "auto" and pb == 2 and pair_vmem_over:
+        # Auto pairing demotes on VMEM only. Round-4 scan-delta probes on
+        # the v5e (K=4, /tmp/flat_ab.log, small_ab.log) re-measured the
+        # round-2 plane-width rule with the current rim-DMA kernel and
+        # inverted it: non-flat pairing now wins at EVERY probed width
+        # (512^3: 1.36 vs 1.39 ms/step; 128^3: 57.4 vs 51.6 Gcell/s
+        # unpaired; 96^3 z-embed: 48.3 vs 38.0), and the flat (2-D
+        # chunked) leap built for narrow planes measures strictly slower
+        # than the 3-D chunked pair at both 512^3 (1.46 ms/step) and
+        # 128^3 (56.5 Gcell/s), so flat='auto' resolves OFF and the
+        # plane-width demotion is gone. flat='on' keeps the 2-D leap
+        # selectable (bitwise-pinned by test_sweep_flat_bitwise).
         pb = 1
         use_flat = flat == "on"
     if use_flat and pb != 2:
@@ -1639,7 +1643,7 @@ def sweep_fused(
         why = (
             "pair='off' requested"
             if pair == "off"
-            else "the auto gate demoted it (VMEM or plane-width)"
+            else "the auto gate demoted it (chunk rings exceed VMEM)"
         )
         raise ValueError(
             f"k_fuse={K} on a zrT-mode grid needs the paired kernel's"
