@@ -18,13 +18,23 @@ def rows(path):
             yield r
 
 
-def main(paths):
+def main(paths, require_sorted=True):
     data = {}
     for p in paths:
         for r in rows(p):
             key = (r["Method"], int(r["StencilOrder"]))
             data.setdefault(key, []).append(r)
     for (method, order), rs in data.items():
+        sizes = [int(r["NX"]) for r in rs]
+        if require_sorted and sizes != sorted(sizes):
+            # out-of-order rows mean the CSV was appended out of campaign
+            # order (round-4 hygiene issue) — fail loudly so the committed
+            # CSV stays size-monotonic per method (VERDICT r4 task 7)
+            raise SystemExit(
+                f"rows for method={method!r} order={order} are not"
+                f" size-monotonic in the input CSV ({sizes}); sort the CSV"
+                f" (scripts/sort_csv.py) before regenerating tables"
+            )
         rs.sort(key=lambda r: int(r["NX"]))
         print(f"\n### {method} (order {order})\n")
         print("| Grid | Device ms (45 timed steps) | GFLOP/s | Gcell/s |"
@@ -44,4 +54,4 @@ def main(paths):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or ["benchmark_r4.csv"])
+    main(sys.argv[1:] or ["benchmark_r5.csv"])

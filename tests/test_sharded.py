@@ -495,3 +495,57 @@ def test_sharded_overlap_interior_independent_of_exchange(monkeypatch):
     assert mid_ok
     # sanity: the poison reached the edge slabs of interior shards
     assert np.isnan(C_pois).any()
+
+
+def test_sharded_checkpoint_resume_equals_unbroken(tmp_path):
+    """Sharded checkpoint/resume (SURVEY §5): gather -> npz -> reshard. A
+    run checkpointed mid-stream and resumed on a fresh ShardedSimulator is
+    bit-equal to the unbroken run (no sources: f32 per-step math is block-
+    structure invariant), and a sourced resume with absolute-step indexing
+    stays within fp-association distance of the unbroken run."""
+    from tpufdtd.checkpoint import run_sharded_with_checkpoints, resume_sharded
+
+    g = tf.Grid3D(32, 16, 16, hx=1.0, hy=1.0, hz=1.0)
+    up, uc = _zero_rim_ic(g)
+    m = np.full(g.padded_shape, 1.5, np.float32)
+    cfg = tf.SimConfig(dt=0.001, nsteps=9, backend="pallas")
+    mesh = make_mesh(4)
+
+    # unbroken 9-step run
+    sim = ShardedSimulator(g, cfg, m, mesh)
+    assert sim.sweep is not None
+    st, ms, pk = sim.prepare(up.copy(), uc.copy(), m)
+    st = sim.run(st, ms, pk, None, 9)
+    P0, C0 = sim.extract_state(st)
+
+    # checkpointed at step 5, resumed on a FRESH simulator over the mesh
+    path_fmt = str(tmp_path / "ck_{step:06d}.npz")
+    sim_a = ShardedSimulator(g, cfg, m, mesh)
+    run_sharded_with_checkpoints(
+        sim_a, up.copy(), uc.copy(), m, 9,
+        checkpoint_every=5, path_fmt=path_fmt,
+    )
+    P1, C1 = resume_sharded(
+        path_fmt.format(step=5), cfg, m, mesh, nsteps_total=9
+    )
+    assert np.array_equal(C1, C0)
+    assert np.array_equal(P1, P0)
+
+    # sourced variant: absolute-step source indexing across the break
+    src = tf.ricker_table(9, 1, cfg.dt)
+    coords = np.array([[16.0, 8.0, 8.0]], np.float32)
+    sim_s = ShardedSimulator(g, cfg, m, mesh, src_coords=coords)
+    st, ms, pk = sim_s.prepare(up.copy(), uc.copy(), m)
+    st = sim_s.run(st, ms, pk, src, 9)
+    _, Cs0 = sim_s.extract_state(st)
+
+    sim_b = ShardedSimulator(g, cfg, m, mesh, src_coords=coords)
+    run_sharded_with_checkpoints(
+        sim_b, up.copy(), uc.copy(), m, 9, src=src,
+        checkpoint_every=5, path_fmt=path_fmt,
+    )
+    _, Cs1 = resume_sharded(
+        path_fmt.format(step=5), cfg, m, mesh, nsteps_total=9,
+        src=src, src_coords=coords,
+    )
+    assert rel_l2(Cs1, Cs0) < 1e-6, rel_l2(Cs1, Cs0)

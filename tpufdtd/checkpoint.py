@@ -111,3 +111,65 @@ def resume(path: str, cfg: SimConfig, m: np.ndarray, nsteps_total: int,
     state = sim.run(state, chunk, rest)
     levels = sim.extract_state(state)
     return levels[0], levels[1]
+
+
+def run_sharded_with_checkpoints(
+    sim,
+    u_prev: np.ndarray,
+    u_cur: np.ndarray,
+    m: np.ndarray,
+    nsteps: int,
+    src: Optional[np.ndarray] = None,
+    checkpoint_every: Optional[int] = None,
+    path_fmt: str = "ckpt_sharded_{step:06d}.npz",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Drive a ShardedSimulator in checkpointed spans (gather -> npz).
+
+    The device state is gathered to the host-side global reference layout
+    at each checkpoint (ShardedSimulator.extract_state), so the npz file is
+    mesh-shape independent: a run checkpointed on one mesh can resume on
+    another (or single-chip via `resume`). `src` rows are consumed by
+    absolute step index, exactly like the single-chip driver.
+    """
+    state, m_sh, packed = sim.prepare(u_prev, u_cur, m)
+    done = 0
+    span = checkpoint_every or nsteps
+    while done < nsteps:
+        n = min(span, nsteps - done)
+        chunk = src[done : done + n] if src is not None else None
+        state = sim.run(state, m_sh, packed, chunk, n)
+        done += n
+        if checkpoint_every and done < nsteps:
+            levels = sim.extract_state(state)
+            ckpt = Checkpoint(
+                step=done,
+                u_prev=levels[0],
+                u_cur=levels[1],
+                u_target=levels[2] if len(levels) > 2 else None,
+                grid=sim.grid,
+                dt=sim.cfg.dt,
+            )
+            save(path_fmt.format(step=done), ckpt)
+    levels = sim.extract_state(state)
+    return levels[0], levels[1]
+
+
+def resume_sharded(path: str, cfg: SimConfig, m: np.ndarray, mesh,
+                   nsteps_total: int, src: Optional[np.ndarray] = None,
+                   src_coords=None) -> Tuple[np.ndarray, np.ndarray]:
+    """Resume a checkpoint over a device mesh: load the host-side ring,
+    re-shard it (prepare), and run the remaining steps with absolute-step
+    source indexing. The checkpoint may come from a sharded OR single-chip
+    run — the on-disk format is the global reference layout either way."""
+    from .parallel import ShardedSimulator
+
+    ckpt = load(path)
+    sim = ShardedSimulator(ckpt.grid, cfg, m, mesh, src_coords=src_coords)
+    state, m_sh, packed = sim.prepare(
+        ckpt.u_prev, ckpt.u_cur, m, ckpt.u_target
+    )
+    rest = nsteps_total - ckpt.step
+    chunk = src[ckpt.step : ckpt.step + rest] if src is not None else None
+    state = sim.run(state, m_sh, packed, chunk, rest)
+    levels = sim.extract_state(state)
+    return levels[0], levels[1]

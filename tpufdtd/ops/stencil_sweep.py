@@ -79,6 +79,35 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import Grid3D, stencil_weights
 
+import os
+
+# Stage-ring store mode: "fused" assembles each intermediate stage plane as
+# ONE full-row array (rim rows concatenated around the computed interior at
+# sublane-tile-aligned offsets — pure layout copies) and writes the ring slot
+# in a single store; "split" keeps the three-store form (interior + two rim
+# bands). The round-4 ablation attributed part of the 0.47 ms/step structure
+# gap at 512^3 to the per-stage rim-copy stores, but the round-5 hardware
+# probe measured the fused form SLOWER (1.40/1.30 vs 1.274 ms/step at 512^3:
+# Mosaic materializes the concat as a fresh full-plane temporary, while the
+# split stores hit disjoint slices of the ring slot in place), so "split"
+# stays the default; both forms are bitwise-identical in memory effect.
+STAGE_STORE_FUSED = os.environ.get("TPUFDTD_STAGE_STORE", "split") != "split"
+
+# z-neighbor build mode (compiled kernels only): "roll" forms each z+-d
+# neighbor row as ONE lane rotate — in zrT mode the wrapped lanes of the
+# boundary 128-lane tile are then fixed from the rim block with a select
+# (narrow ops on one lane tile), in z_embed mode the wrap lands in dead /
+# rim lanes that `finish` masks anyway so the roll alone suffices; "concat"
+# keeps the unaligned lane-shift concatenates. The round-4 ablation named
+# the concat lowering as part of the 0.47 ms/step structure gap at 512^3,
+# but the round-5 hardware probe measured the roll form SLOWER (roll+fused
+# 1.54 vs fused-only 1.40 vs baseline 1.274 ms/step: a full-row lane rotate
+# crosses every 128-lane tile, where the shift-concat only touches the two
+# boundary tiles), so "concat" stays the default. Both forms are bitwise-
+# identical on every stored lane. Interpret mode always uses the
+# concat/slice forms (pltpu.roll has no CPU lowering).
+Z_NEIGHBOR_ROLL = os.environ.get("TPUFDTD_ZNB", "concat") != "concat"
+
 CUR_RING = 8  # power of two >= 2R + 1 + FETCH_LEAD
 PREV_RING = 4  # power of two >= 1 + FETCH_LEAD
 STAGE_RING = 8  # power of two >= 2R + 1 (+ pipeline skew slack)
@@ -137,6 +166,35 @@ def _ring_profile(grid: Grid3D, py: int = 8, name: str = "auto",
         return deep_name
     plane = (grid.ny + 2 * py) * core_nz(grid) * 4
     return deep_name if plane <= DEEP_PLANE_BYTES else std_name
+
+
+def _z_roll_neighbors(c, zr, d: int, h: int, nz: int):
+    """zrT-mode (z+d, z-d) neighbor rows of c via lane rotates.
+
+    Interior lanes come from ONE `pltpu.roll` of the full row; the d wrapped
+    lanes at each boundary land in the first/last 128-lane tile and are
+    replaced there by the true rim columns, pre-rotated into position from
+    the 128-lane rim block (every fix op touches a single lane tile). The
+    concatenates reassembling the fixed tile are lane-tile aligned — pure
+    layout, unlike the unaligned lane-shift concats this replaces. Values
+    are bitwise-identical to the concat form on every lane.
+
+    Works on (ylen, nz) planes and (pb, ylen, nz) chunks; zr is the
+    matching (..., ZR_LANES) rim block with rim columns at lanes [0, 2h).
+    Requires nz % ZR_LANES == 0 (the compiled zrT core guarantee).
+    """
+    ax = c.ndim - 1
+    L = ZR_LANES
+    lane = jax.lax.broadcasted_iota(jnp.int32, zr.shape, ax)
+    rp = pltpu.roll(c, nz - d, ax)  # lane i <- c[(i + d) % nz]
+    pp = pltpu.roll(zr, (L - d - h) % L, ax)  # rim col h+j at lane L-d+j
+    tp = jnp.where(lane >= L - d, pp, rp[..., nz - L :])
+    zp = tp if nz == L else jnp.concatenate([rp[..., : nz - L], tp], axis=ax)
+    rm = pltpu.roll(c, d, ax)  # lane i <- c[(i - d) % nz]
+    pm = pltpu.roll(zr, (L - h + d) % L, ax)  # rim col h-d+j at lane j
+    tm = jnp.where(lane < d, pm, rm[..., :L])
+    zm = tm if nz == L else jnp.concatenate([tm, rm[..., L:]], axis=ax)
+    return zp, zm
 
 
 def pad_zrim(zrim: np.ndarray) -> np.ndarray:
@@ -383,13 +441,22 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True,
         def yshift(cy, d: int, y0: int, y1: int):
             return cy[y0 - d : y1 - d, :]
 
+    roll_znb = use_roll and Z_NEIGHBOR_ROLL
+
     def z_neighbors(c, zr, d: int, ylen: int):
         """(z+d, z-d) neighbor rows of c."""
         if z_embed:
+            if roll_znb:
+                # wrapped lanes land in dead/rim lanes that `finish` masks
+                # back to cur, so the bare rotate is value-identical
+                W_l = c.shape[-1]
+                return pltpu.roll(c, W_l - d, 1), pltpu.roll(c, d, 1)
             zeros = jnp.zeros((ylen, d), c.dtype)
             zp = jnp.concatenate([c[:, d:], zeros], axis=1)
             zm = jnp.concatenate([zeros, c[:, : c.shape[1] - d]], axis=1)
             return zp, zm
+        if roll_znb and nz % ZR_LANES == 0:
+            return _z_roll_neighbors(c, zr, d, h, nz)
         zp = jnp.concatenate([c[:, d:], zr[:, h : h + d]], axis=1)
         zm = jnp.concatenate([zr[:, h - d : h], c[:, : nz - d]], axis=1)
         return zp, zm
@@ -506,13 +573,20 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True,
             def yshift_f(c2, d: int):
                 return jnp.roll(c2, d, axis=0)
 
+        roll_znb_f = use_roll and Z_NEIGHBOR_ROLL
+
         def z_neighbors_f(c, zr, d: int):
             rows = c.shape[0]
             if z_embed:
+                if roll_znb_f:
+                    W_l = c.shape[-1]
+                    return pltpu.roll(c, W_l - d, 1), pltpu.roll(c, d, 1)
                 zeros = jnp.zeros((rows, d), c.dtype)
                 zp = jnp.concatenate([c[:, d:], zeros], axis=1)
                 zm = jnp.concatenate([zeros, c[:, : c.shape[1] - d]], axis=1)
                 return zp, zm
+            if roll_znb_f and nz % ZR_LANES == 0:
+                return _z_roll_neighbors(c, zr, d, h, nz)
             zp = jnp.concatenate([c[:, d:], zr[:, h : h + d]], axis=1)
             zm = jnp.concatenate([zr[:, h - d : h], c[:, : nz - d]], axis=1)
             return zp, zm
@@ -599,12 +673,19 @@ def _make_leap(grid: Grid3D, dt: float, m_val: float, use_roll: bool = True,
         def yshift3(cy, d: int, y0: int, y1: int):
             return cy[:, y0 - d : y1 - d, :]
 
+    roll_znb3 = use_roll and Z_NEIGHBOR_ROLL
+
     def z_neighbors3(c, zr, d: int, ylen: int):
         if z_embed:
+            if roll_znb3:
+                W_l = c.shape[-1]
+                return pltpu.roll(c, W_l - d, 2), pltpu.roll(c, d, 2)
             zeros = jnp.zeros((pb, ylen, d), c.dtype)
             zp = jnp.concatenate([c[:, :, d:], zeros], axis=2)
             zm = jnp.concatenate([zeros, c[:, :, : c.shape[2] - d]], axis=2)
             return zp, zm
+        if roll_znb3 and nz % ZR_LANES == 0:
+            return _z_roll_neighbors(c, zr, d, h, nz)
         zp = jnp.concatenate([c[:, :, d:], zr[:, :, h : h + d]], axis=2)
         zm = jnp.concatenate([zr[:, :, h - d : h], c[:, :, : nz - d]], axis=2)
         return zp, zm
@@ -958,9 +1039,14 @@ def _sweep_kernel(
                 pv_rows = pv_rows.astype(jnp.float32)
             zr1 = None if z_embed else zr_at(0, k)
             upd1 = leap(planes1, pv_rows, zr1, py, ny, w_at(0, k))
-            stage_ring[0, s1_slot, py : py + ny] = upd1
-            stage_ring[0, s1_slot, 0:py] = cy1[0:py, :]
-            stage_ring[0, s1_slot, py + ny :] = cy1[py + ny :, :]
+            if STAGE_STORE_FUSED:
+                stage_ring[0, s1_slot] = jnp.concatenate(
+                    [cy1[0:py, :], upd1, cy1[py + ny :, :]], axis=0
+                )
+            else:
+                stage_ring[0, s1_slot, py : py + ny] = upd1
+                stage_ring[0, s1_slot, 0:py] = cy1[0:py, :]
+                stage_ring[0, s1_slot, py + ny :] = cy1[py + ny :, :]
         elif cond(None, "pad1"):
             stage_ring[0, s1_slot] = cy1[...]
 
@@ -984,9 +1070,14 @@ def _sweep_kernel(
                     zrs = None if z_embed else zr_at(R * (st - 1), k)
                     upd = leap(planes, pvs[py : py + ny, :], zrs, py, ny,
                                w_at(R * (st - 1), k))
-                    stage_ring[st - 1, ks, py : py + ny] = upd
-                    stage_ring[st - 1, ks, 0:py] = cyS[0:py, :]
-                    stage_ring[st - 1, ks, py + ny :] = cyS[py + ny :, :]
+                    if STAGE_STORE_FUSED:
+                        stage_ring[st - 1, ks] = jnp.concatenate(
+                            [cyS[0:py, :], upd, cyS[py + ny :, :]], axis=0
+                        )
+                    else:
+                        stage_ring[st - 1, ks, py : py + ny] = upd
+                        stage_ring[st - 1, ks, 0:py] = cyS[0:py, :]
+                        stage_ring[st - 1, ks, py + ny :] = cyS[py + ny :, :]
                 else:
                     stage_ring[st - 1, ks] = cyS[...]
             else:
@@ -1323,6 +1414,10 @@ def _sweep_kernel_pair(
             if flat:
                 # the leap's row mask already froze the rim band to cy1
                 stage_ring[0, s1_slot] = upd1
+            elif STAGE_STORE_FUSED:
+                stage_ring[0, s1_slot] = jnp.concatenate(
+                    [cy1[:, 0:py, :], upd1, cy1[:, py + ny :, :]], axis=1
+                )
             else:
                 stage_ring[0, s1_slot, :, py : py + ny] = upd1
                 stage_ring[0, s1_slot, :, 0:py] = cy1[:, 0:py, :]
@@ -1353,6 +1448,11 @@ def _sweep_kernel_pair(
                     upd = leap(planes, pvr, zrs, py, ny, w_at(st - 1, k))
                     if flat:
                         stage_ring[st - 1, ks] = upd
+                    elif STAGE_STORE_FUSED:
+                        stage_ring[st - 1, ks] = jnp.concatenate(
+                            [cyS[:, 0:py, :], upd, cyS[:, py + ny :, :]],
+                            axis=1,
+                        )
                     else:
                         stage_ring[st - 1, ks, :, py : py + ny] = upd
                         stage_ring[st - 1, ks, :, 0:py] = cyS[:, 0:py, :]
