@@ -30,7 +30,10 @@ run pallas_512  5400 $CLI --grids 512 --backends pallas
 run pallas_640  5400 $CLI --grids 640 --backends pallas
 run pallas_768  5400 $CLI --grids 768 --backends pallas
 run pallas_896  7200 $CLI --grids 896 --backends pallas
+# 1024^3 f32 compiles to 21.4 G HBM (> 15.75 G): expect the documented
+# graceful skip; the bf16-storage row below is how 1024^3 actually fits
 run pallas_1024 7200 $CLI --grids 1024 --backends pallas
+run bf16_1024  7200 env TPUFDTD_STORAGE=bfloat16 $CLI --grids 1024 --backends pallas-bf16
 # the sub-512 ladder (descending: bigger rows are worth more if time runs out)
 for gs in 384 256 192 128 96 64 32; do
   run pallas_$gs 5400 $CLI --grids $gs --backends pallas

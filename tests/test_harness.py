@@ -117,3 +117,41 @@ def test_speed_test_smoke(capsys):
     assert len(out) == 1
     gs, ta, tb, sp = out[0]
     assert gs == 12 and ta > 0 and tb > 0 and sp > 0
+
+
+def test_state_spec_matches_prepare_state():
+    """state_spec / prepare_state_random produce the exact prepare_state
+    pytree (structure, shapes, dtypes) — the device-side random ICs the perf
+    driver times must run the same compiled programs as real ICs (host
+    memory here is too slow for multi-GB host prep; see perf.py)."""
+    import jax
+
+    for backend, gs in (("jnp", 16), ("pallas", 32)):
+        g = tf.Grid3D(gs, gs, gs)
+        cfg = tf.SimConfig(dt=0.001, nsteps=4, backend=backend)
+        m = np.full(g.padded_shape, 1.5, np.float32)
+        sim = tf.Simulator(g, cfg, m, tf.default_source_coords(1, gs, gs, gs))
+        u = np.zeros(g.padded_shape, np.float32)
+        ref = sim.prepare_state(u, u)
+        spec = sim.state_spec()
+        rnd = sim.prepare_state_random(3)
+        assert (
+            jax.tree_util.tree_structure(ref)
+            == jax.tree_util.tree_structure(spec)
+            == jax.tree_util.tree_structure(rnd)
+        )
+        for a, s, r in zip(
+            jax.tree_util.tree_leaves(ref),
+            jax.tree_util.tree_leaves(spec),
+            jax.tree_util.tree_leaves(rnd),
+        ):
+            assert a.shape == s.shape == r.shape
+            assert a.dtype == s.dtype == r.dtype
+        # zero-scale build is exactly zeros (the perf invariant run's IC)
+        z = sim.prepare_state_random(0, scale=0.0)
+        assert all(
+            float(abs(np.asarray(x, np.float32)).max()) == 0.0
+            for x in jax.tree_util.tree_leaves(z)
+        )
+        mx, nan = sim.state_field_stats(rnd)
+        assert mx > 0 and nan is False

@@ -202,7 +202,13 @@ def run_sharded_benchmark(
             memory_eff = gbps / (peaks.hbm_gbps * n_devices) * 100.0
 
         scal_eff = None
-        if baseline_single and n_devices > 1 and not dryrun:
+        if baseline_single and n_devices > 1:
+            # Strong scaling vs a 1-device mesh of the SAME global grid.
+            # On a real mesh this is the headline scaling number; on a
+            # virtual CPU dryrun all n "devices" share the host cores, so
+            # the ratio measures shard-program overhead + serialization
+            # (1/n is the expected ceiling on a 1-core host) — the row is
+            # tagged @dryrun so it can never be read as chip scaling.
             mesh1 = make_mesh(1)
             sim1 = ShardedSimulator(grid, cfg, m, mesh1, src_coords=coords)
             t1 = [

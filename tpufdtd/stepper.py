@@ -748,6 +748,86 @@ class Simulator:
             e.prepare_level(ut),
         )
 
+    def state_spec(self):
+        """ShapeDtypeStruct pytree matching prepare_state for standard perf
+        ICs (identical rims -> the fast in-place rings). Mirrors the branch
+        order of PallasEngine.prepare_state using only layout shape
+        properties — no arrays are materialized. Used by the AOT precompile
+        tool and by prepare_state_random."""
+        e, cfg = self.engine, self.cfg
+        S = jax.ShapeDtypeStruct
+        sd = _storage_dtype(cfg)
+        if getattr(e, "sweep_k", 0):
+            lay = e.sweep_lay
+            zr_shape = (
+                lay.zrim_shape
+                if lay.z_embed
+                else lay.zrim_shape[:2] + (e._sweep.ZR_LANES,)
+            )
+            return {
+                "sweep_1": (
+                    S((2,) + lay.core_shape, sd),
+                    S(zr_shape, np.float32),
+                )
+            }
+        if getattr(e, "fast_capable", False):
+            if e.t_fuse == 2:
+                return {
+                    "packed4_2_1": (
+                        S((4,) + e.lay.core_shape, sd),
+                        S(e.lay.zrim_shape, sd),
+                    )
+                }
+            return {
+                "packed2_0_1": (
+                    S((2,) + e.lay.core_shape, sd),
+                    S(e.lay.zrim_shape, sd),
+                )
+            }
+        if hasattr(e, "lay"):  # z-split engines: levels are (core, zrim)
+            lvl = (S(e.lay.core_shape, sd), S(e.lay.zrim_shape, sd))
+        else:  # array engines (jnp, pallas_v2): one padded array per level
+            lvl = S(e.layout.padded_shape, sd)
+        return (lvl, lvl, lvl)
+
+    def prepare_state_random(self, seed: int, scale: float = 0.1):
+        """Device-built random ring state for TIMING runs: same pytree as
+        prepare_state on randomized ICs, but generated with jax.random ON
+        DEVICE — no multi-GB host allocation or host->device transfer. On
+        this environment host memory runs at ~50 MB/s, so host-side IC prep
+        for >= 768^3 grids takes tens of minutes per rep; device-side prep
+        is milliseconds. Timing is IC-independent (the kernels are
+        branch-free over field values); rims carry frozen random values
+        instead of the frozen zeros host prep produces, which no kernel
+        treats differently. Not for correctness runs — use prepare_state."""
+        spec = self.state_spec()
+        leaves, treedef = jax.tree_util.tree_flatten(spec)
+
+        def build(key):
+            keys = jax.random.split(key, len(leaves))
+            outs = [
+                (jax.random.normal(k, l.shape, jnp.float32) * scale).astype(
+                    l.dtype
+                )
+                for k, l in zip(keys, leaves)
+            ]
+            return jax.tree_util.tree_unflatten(treedef, outs)
+
+        return jax.jit(build)(jax.random.PRNGKey(seed))
+
+    def state_field_stats(self, state):
+        """(max_abs, has_nan) of the final field, computed ON DEVICE — the
+        perf driver's zero-field/NaN invariant without a multi-GB host
+        extraction (extract_state joins full fields on the slow host)."""
+        leaves = jax.tree_util.tree_leaves(state)
+        mx = 0.0
+        nan = False
+        for leaf in leaves:
+            a = jnp.asarray(leaf, jnp.float32)
+            mx = max(mx, float(jnp.max(jnp.abs(a))))
+            nan = nan or bool(jnp.isnan(jnp.max(a)))
+        return mx, nan
+
     def extract_state(self, state):
         """Back to host reference-layout arrays: (u_{N-1}, u_N, u_{N-2}) in
         the exact ring, (u_{N-1}, u_N) in the fast 2-buffer ring."""
