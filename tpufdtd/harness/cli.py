@@ -68,6 +68,11 @@ def main(argv=None):
                         " estimates 85/15 (main.cpp:429-433); on this stack"
                         " the extra pallas program costs a second ~30-45 min"
                         " remote Mosaic compile per grid size")
+    p.add_argument("--timing-repeat", type=int, default=None,
+                   help="override the timed-span stretch factor (default:"
+                        " auto ~8x a 45-step 512^3 span; the order-8 packed"
+                        " engine's 360-step span exceeds VMEM, so order-8"
+                        " rows use --timing-repeat 1)")
     p.add_argument("--append-csv", action="store_true",
                    help="append to an existing CSV instead of replacing it "
                         "(the reference always starts fresh, main.cpp:796)")
@@ -134,6 +139,7 @@ def main(argv=None):
                 t_fuse=rc.t_fuse,
                 pair=rc.pair,
                 order=args.order,
+                timing_repeat=args.timing_repeat,
                 measure_split=(
                     backend == "jnp"
                     if args.measure_split == "auto"

@@ -94,6 +94,7 @@ def run_benchmark(
     pair: str = "auto",
     measure_split: bool = True,
     order: int = 4,
+    timing_repeat: Optional[int] = None,
 ):
     peaks = peaks or detect_peaks()
     is_optimized = method != "jnp"
@@ -150,7 +151,11 @@ def run_benchmark(
         # (+-2-5 ms) over >= 8 spans' work — the round-4 single-span rows
         # carried ~12 % rep stddev from exactly that jitter (VERDICT r4
         # weak #1); grids > 640^3 have multi-hundred-ms spans and need none
-        q = int(np.clip((512**3 * 45 * 8) // max(1, gs**3 * rest), 1, 64))
+        q = (
+            timing_repeat
+            if timing_repeat is not None
+            else int(np.clip((512**3 * 45 * 8) // max(1, gs**3 * rest), 1, 64))
+        )
         # one discarded warm rep: the first execution of each compiled span
         # carries (remote) Mosaic compilation, which the reference's
         # precompiled kernels never see in their reps
